@@ -1,0 +1,311 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1/§3/§4).
+
+Generates the ``pages(url, warc_ts, html, text, lang)`` table the north
+rule's pipeline consumes, with gold mentions / gold triples / alias
+dictionary known BY CONSTRUCTION — sentences are built from templates over
+a fixed gazetteer, wrapped in HTML (plus script/style/comment noise), and
+``text`` is set to ``extract_text(html)`` so the byte-identical invariant
+is anchored to the engine's own extractor
+(:mod:`ner_pytorch_spark.functions.extraction`).
+
+Everything is seeded (``numpy.random.default_rng(seed)``), pure (no
+wall-clock, no dict-order dependence), and cheap enough to synthesize at
+bench scale on the fly. Domain distribution is Zipf-skewed to exercise
+salted repartitioning.
+
+The reference has no corpus generator; the CoNLL-shaped gold tags mirror
+/root/reference/dataset/eng.train via /root/reference/loader.py:21-42.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+
+from .functions.extraction import extract_text
+
+SEED = 42
+EMB_DIM = 32
+
+# --------------------------------------------------------------- gazetteer
+# (canonical_id, tag_type, [surfaces]); surface[0] is the canonical form.
+# Surfaces are unique across the whole gazetteer so mention detection is
+# unambiguous by construction.
+
+_PER = [
+    ["Alice Johnson", "Johnson", "Ms. Johnson"],
+    ["Robert Smith", "Smith", "Mr. Smith"],
+    ["Maria Garcia", "Garcia"],
+    ["Chen Wei", "Wei"],
+    ["Yuki Tanaka", "Tanaka"],
+    ["Omar Hassan", "Hassan"],
+    ["Anna Kowalski", "Kowalski"],
+    ["David Miller", "Miller"],
+    ["Sofia Rossi", "Rossi"],
+    ["James Brown", "Brown"],
+    ["Linda Davis", "Davis"],
+    ["Pierre Dubois", "Dubois"],
+    ["Elena Petrova", "Petrova"],
+    ["Carlos Mendez", "Mendez"],
+    ["Fatima Ali", "Ali"],
+    ["Erik Larsen", "Larsen"],
+]
+_ORG = [
+    ["Acme Corporation", "Acme", "Acme Corp"],
+    ["Globex Industries", "Globex"],
+    ["Initech Systems", "Initech"],
+    ["Umbrella Holdings", "Umbrella"],
+    ["Stark Technologies", "Stark Tech"],
+    ["Wayne Enterprises", "Wayne Ent"],
+    ["Cyberdyne Labs", "Cyberdyne"],
+    ["Tyrell Analytics", "Tyrell"],
+    ["Hooli Networks", "Hooli"],
+    ["Vandelay Imports", "Vandelay"],
+    ["Wonka Foods", "Wonka"],
+    ["Soylent Nutrition", "Soylent"],
+]
+_LOC = [
+    ["New York", "NYC"],
+    ["San Francisco"],
+    ["London"],
+    ["Paris"],
+    ["Berlin"],
+    ["Tokyo"],
+    ["Shanghai"],
+    ["Mumbai"],
+    ["Lagos"],
+    ["Toronto"],
+    ["Sydney"],
+    ["Madrid"],
+    ["Oslo"],
+    ["Cairo"],
+]
+_MISC = [
+    ["World Cup"],
+    ["Olympic Games", "Olympics"],
+    ["Nobel Prize"],
+    ["Eurovision"],
+]
+
+
+@dataclass(frozen=True)
+class Entity:
+    canonical_id: int
+    tag_type: str
+    surfaces: tuple[str, ...]
+
+
+def gazetteer() -> list[Entity]:
+    ents: list[Entity] = []
+    cid = 0
+    for tag_type, bank in (("PER", _PER), ("ORG", _ORG), ("LOC", _LOC), ("MISC", _MISC)):
+        for surfaces in bank:
+            ents.append(Entity(cid, tag_type, tuple(surfaces)))
+            cid += 1
+    return ents
+
+
+# Relation templates: (pred_name, subj_type, connector tokens, obj_type,
+# trailing tokens). Connector token runs double as the predicate lexicon
+# for triple extraction.
+RELATION_TEMPLATES = [
+    ("works_for", "PER", ("works", "for"), "ORG", (".",)),
+    ("born_in", "PER", ("was", "born", "in"), "LOC", (".",)),
+    ("based_in", "ORG", ("is", "based", "in"), "LOC", (".",)),
+    ("visited", "PER", ("visited",), "LOC", ("last", "year", ".")),
+    ("met", "PER", ("met",), "PER", ("on", "Monday", ".")),
+    ("acquired", "ORG", ("acquired",), "ORG", ("in", "2019", ".")),
+    ("won", "PER", ("won", "the"), "MISC", (".",)),
+    ("hosted", "LOC", ("hosted", "the"), "MISC", (".",)),
+]
+
+PREDICATE_LEXICON = {" ".join(t[2]): t[0] for t in RELATION_TEMPLATES}
+
+_FILLER = [
+    "The quarterly report was published on time .",
+    "Markets closed higher after 3 days of losses .",
+    "A new policy will take effect in 2025 .",
+    "Local officials announced the results yesterday .",
+    "The committee meets every second Tuesday .",
+    "IT budgets grew by 12 percent this year .",
+    "Rain is expected over the weekend .",
+    "The museum reopened after renovation .",
+]
+_FILLER_DE = [
+    "Der Bericht wurde gestern veroeffentlicht .",
+    "Die Sitzung findet am Dienstag statt .",
+    "Das Wetter bleibt am Wochenende trocken .",
+]
+
+_DOMAINS = [f"site{i:03d}.example.com" for i in range(50)]
+
+
+def _zipf_weights(n: int, s: float = 1.2) -> np.ndarray:
+    w = 1.0 / np.arange(1, n + 1) ** s
+    return w / w.sum()
+
+
+def _pick(rng: np.random.Generator, seq):
+    return seq[int(rng.integers(0, len(seq)))]
+
+
+def _sentence_from_template(rng: np.random.Generator, ents_by_type):
+    """Build one relation sentence → (tokens, mentions, triple).
+
+    mentions: list[(start, end_exclusive, tag_type, surface)];
+    triple: (subj_canonical_id, pred, obj_canonical_id).
+    """
+    pred, st, conn, ot, tail = RELATION_TEMPLATES[int(rng.integers(0, len(RELATION_TEMPLATES)))]
+    subj = _pick(rng, ents_by_type[st])
+    obj = _pick(rng, ents_by_type[ot])
+    while obj.canonical_id == subj.canonical_id:
+        obj = _pick(rng, ents_by_type[ot])
+    subj_surface = _pick(rng, subj.surfaces)
+    obj_surface = _pick(rng, obj.surfaces)
+    tokens: list[str] = []
+    mentions = []
+    s_tok = subj_surface.split(" ")
+    mentions.append((0, len(s_tok), subj.tag_type, subj_surface))
+    tokens += s_tok
+    tokens += list(conn)
+    o_start = len(tokens)
+    o_tok = obj_surface.split(" ")
+    mentions.append((o_start, o_start + len(o_tok), obj.tag_type, obj_surface))
+    tokens += o_tok
+    tokens += list(tail)
+    return tokens, mentions, (subj.canonical_id, pred, obj.canonical_id)
+
+
+def generate_pages(n_pages: int, seed: int = SEED):
+    """Yield page dicts + gold rows. Deterministic in (n_pages, seed).
+
+    Returns (pages, gold_mentions, gold_triples):
+      pages:        [{url, warc_ts, html, text, lang}]
+      gold_mentions:[{url, sent_id, start, end, tag_type, surface}]
+      gold_triples: [{url, sent_id, subj_id, pred, obj_id}]
+    sent_id counts non-empty text lines from the extractor (title = 0).
+    """
+    rng = np.random.default_rng(seed)
+    ents = gazetteer()
+    ents_by_type: dict[str, list[Entity]] = {}
+    for e in ents:
+        ents_by_type.setdefault(e.tag_type, []).append(e)
+
+    dom_w = _zipf_weights(len(_DOMAINS))
+    base_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    pages, gold_mentions, gold_triples = [], [], []
+    for i in range(n_pages):
+        domain = _DOMAINS[int(rng.choice(len(_DOMAINS), p=dom_w))]
+        url = f"https://{domain}/page/{i:08d}"
+        warc_ts = base_ts + timedelta(days=int(rng.integers(0, 90)), seconds=int(rng.integers(0, 86400)))
+        lang = "en" if rng.random() < 0.95 else str(_pick(rng, ["de", "fr"]))
+
+        n_sent = int(rng.integers(2, 7))
+        body_lines: list[str] = []
+        title = f"Daily briefing {i % 100}"
+        sent_id = 1  # 0 is the title line
+        for _ in range(n_sent):
+            if lang != "en":
+                body_lines.append(_pick(rng, _FILLER_DE))
+                sent_id += 1
+                continue
+            if rng.random() < 0.6:
+                tokens, mentions, triple = _sentence_from_template(rng, ents_by_type)
+                body_lines.append(" ".join(tokens))
+                for (s, e, tt, surf) in mentions:
+                    gold_mentions.append(
+                        {"url": url, "sent_id": sent_id, "start": s, "end": e,
+                         "tag_type": tt, "surface": surf})
+                gold_triples.append(
+                    {"url": url, "sent_id": sent_id, "subj_id": triple[0],
+                     "pred": triple[1], "obj_id": triple[2]})
+            else:
+                body_lines.append(_pick(rng, _FILLER))
+            sent_id += 1
+
+        paras = "".join(f"<p>{line}</p>" for line in body_lines)
+        noise = (
+            "<script>var x = 1; console.log('tracker');</script>"
+            "<style>p { color: #333; }</style>"
+            "<!-- generated page -->"
+        )
+        html = (
+            f"<html><head><title>{title}</title>{noise}</head>"
+            f"<body>{paras}</body></html>"
+        ).encode("utf-8")
+        text = extract_text(html)
+        pages.append({"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang})
+    return pages, gold_mentions, gold_triples
+
+
+# ------------------------------------------------------------ embeddings
+# Token vectors are hash-seeded (stable across processes); alias pooled
+# embeddings follow the reference's mean/min/max pooling
+# (/root/reference/word_rep.py:114-121).
+
+
+def token_vector(token: str, dim: int = EMB_DIM) -> np.ndarray:
+    import hashlib
+
+    seed = int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=4).digest(), "little")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim)
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def pooled_embedding(surface: str, mode: str = "mean", dim: int = EMB_DIM) -> np.ndarray:
+    vecs = np.stack([token_vector(t, dim) for t in surface.split(" ")])
+    if mode == "mean":
+        out = vecs.mean(axis=0)
+    elif mode == "min":
+        out = vecs.min(axis=0)
+    elif mode == "max":
+        out = vecs.max(axis=0)
+    else:
+        raise ValueError(mode)
+    return out.astype(np.float32)
+
+
+def alias_rows(dim: int = EMB_DIM) -> list[dict]:
+    """Broadcast alias dimension table (FIXTURES.md §4)."""
+    rows = []
+    for e in gazetteer():
+        for surf in e.surfaces:
+            rows.append({
+                "tag_type": e.tag_type,
+                "surface": surf,
+                "canonical_id": e.canonical_id,
+                "emb_mean": pooled_embedding(surf, "mean", dim).tolist(),
+                "emb_min": pooled_embedding(surf, "min", dim).tolist(),
+                "emb_max": pooled_embedding(surf, "max", dim).tolist(),
+            })
+    return rows
+
+
+def pages_dataframe(spark, n_pages: int, seed: int = SEED, partitions: int | None = None):
+    """Materialize the synthetic pages corpus as a Spark DataFrame.
+
+    Generation happens driver-side (pure Python, ~50k pages in seconds)
+    then parallelized; at real scale this table would be an Iceberg scan,
+    not a generator.
+    """
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    pages, _, _ = generate_pages(n_pages, seed)
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ])
+    rows = [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in pages]
+    df = spark.createDataFrame(rows, schema)
+    if partitions:
+        df = df.repartition(partitions, "url")
+    return df

@@ -1,0 +1,280 @@
+"""Numpy forward pass of the char-CNN / char-BiLSTM + word-BiLSTM encoder.
+
+Re-implements the INFERENCE path of the reference model
+(/root/reference/model.py:36-219) in pure numpy so the weights are a
+broadcastable dict of ndarrays and the forward runs inside Arrow-batched
+pandas UDFs with no torch dependency (SURVEY §7 "No torch at scale").
+
+Operators covered (SURVEY §2.7): M1 char-embedding lookup, M2 char-CNN
+(kernel 3, max-over-time), M3 char-BiLSTM, M4 concat [word ‖ char ‖ cap],
+M5 word BiLSTM, M6 emission projection. Dropout (model.py:77) is a
+train-time op and is identity at inference.
+
+LSTM gate math follows the standard formulation (PyTorch gate order
+i,f,g,o) — validated against fixed-weight goldens in tests/test_encoder.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def lstm_forward(
+    x: np.ndarray,        # [B, L, D]
+    lengths: np.ndarray,  # [B]
+    w_ih: np.ndarray,     # [4H, D]
+    w_hh: np.ndarray,     # [4H, H]
+    b: np.ndarray,        # [4H]
+    reverse: bool = False,
+) -> np.ndarray:
+    """Unidirectional masked LSTM; returns hidden states [B, L, H].
+
+    Positions past each sequence's length keep h=0 (equivalent to the
+    reference's packed sequences, model.py:129,190 — padding never
+    contributes to real timesteps).
+    """
+    B, L, D = x.shape
+    H = w_hh.shape[1]
+    h = np.zeros((B, H), dtype=x.dtype)
+    c = np.zeros((B, H), dtype=x.dtype)
+    out = np.zeros((B, L, H), dtype=x.dtype)
+    steps = range(L - 1, -1, -1) if reverse else range(L)
+    for t in steps:
+        gates = x[:, t, :] @ w_ih.T + h @ w_hh.T + b  # [B, 4H]
+        i = _sigmoid(gates[:, 0:H])
+        f = _sigmoid(gates[:, H:2 * H])
+        g = np.tanh(gates[:, 2 * H:3 * H])
+        o = _sigmoid(gates[:, 3 * H:4 * H])
+        c_new = f * c + i * g
+        h_new = o * np.tanh(c_new)
+        alive = (lengths > t)[:, None]
+        h = np.where(alive, h_new, h)
+        c = np.where(alive, c_new, c)
+        out[:, t, :] = np.where(alive, h_new, 0.0)
+    return out
+
+
+def char_cnn(
+    char_ids: list[list[int]],  # per word: char id sequence (may be empty)
+    char_emb: np.ndarray,       # [C, c_dim]
+    w: np.ndarray,              # [out_ch, K, c_dim] conv kernel (K=3)
+    b: np.ndarray,              # [out_ch]
+) -> np.ndarray:
+    """Char-CNN per word: embed → conv(kernel K, pad K-1) → max-over-time.
+
+    Mirrors M2 (model.py:67-68,157-161: Conv2d kernel (3, char_dim),
+    padding (2,0), max pool over time). Words whose chars were all
+    OOV-dropped (loader.py:138 drop semantics) yield the zero vector —
+    the explicit length-0 guard called out in SURVEY §7.
+    Returns [n_words, out_ch].
+    """
+    out_ch, K, c_dim = w.shape
+    n = len(char_ids)
+    reps = np.zeros((n, out_ch), dtype=char_emb.dtype)
+    if n == 0:
+        return reps
+    w2 = w.reshape(out_ch, K * c_dim)
+    pad = K - 1
+    for idx, ids in enumerate(char_ids):
+        if not ids:
+            continue
+        e = char_emb[np.asarray(ids, dtype=np.int64)]  # [n_chars, c_dim]
+        e = np.pad(e, ((pad, pad), (0, 0)))
+        windows = np.lib.stride_tricks.sliding_window_view(e, (K, c_dim))[:, 0]
+        conv = windows.reshape(windows.shape[0], K * c_dim) @ w2.T + b
+        reps[idx] = conv.max(axis=0)
+    return reps
+
+
+def char_bilstm(
+    char_ids: list[list[int]],
+    char_emb: np.ndarray,
+    fw: tuple[np.ndarray, np.ndarray, np.ndarray],
+    bw: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """Char-BiLSTM per word: concat(last forward state, first backward
+    state) — M3 (model.py:123-144). Returns [n_words, 2H]."""
+    H = fw[1].shape[1]
+    n = len(char_ids)
+    reps = np.zeros((n, 2 * H), dtype=char_emb.dtype)
+    nonempty = [(i, ids) for i, ids in enumerate(char_ids) if ids]
+    if not nonempty:
+        return reps
+    maxlen = max(len(ids) for _, ids in nonempty)
+    B = len(nonempty)
+    x = np.zeros((B, maxlen, char_emb.shape[1]), dtype=char_emb.dtype)
+    lengths = np.zeros(B, dtype=np.int64)
+    for row, (_, ids) in enumerate(nonempty):
+        x[row, :len(ids)] = char_emb[np.asarray(ids, dtype=np.int64)]
+        lengths[row] = len(ids)
+    h_f = lstm_forward(x, lengths, *fw)
+    h_b = lstm_forward(x, lengths, *bw, reverse=True)
+    for row, (i, ids) in enumerate(nonempty):
+        reps[i] = np.concatenate([h_f[row, len(ids) - 1], h_b[row, 0]])
+    return reps
+
+
+@dataclass
+class TaggerWeights:
+    """Broadcastable weight bundle for the full inference forward."""
+
+    word_emb: np.ndarray            # [V, w_dim]
+    char_emb: np.ndarray            # [C, c_dim]
+    char_mode: str                  # 'CNN' | 'LSTM'
+    # CNN params
+    cnn_w: np.ndarray | None
+    cnn_b: np.ndarray | None
+    # char LSTM params (fw/bw triples)
+    char_lstm_fw: tuple | None
+    char_lstm_bw: tuple | None
+    # cap embedding (optional, arguments.py cap_dim)
+    cap_emb: np.ndarray | None
+    # word BiLSTM
+    lstm_fw: tuple = None
+    lstm_bw: tuple = None
+    # emission projection [2H, T] (+ bias [T]); T = num_tags + 2
+    proj_w: np.ndarray = None
+    proj_b: np.ndarray = None
+    transitions: np.ndarray = None  # [T, T] augmented (START/STOP last two)
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def num_tags(self) -> int:
+        return self.transitions.shape[0] - 2
+
+    @staticmethod
+    def random_init(
+        vocab_size: int,
+        char_vocab_size: int,
+        num_tags: int,
+        word_dim: int = 32,
+        char_dim: int = 8,
+        char_out: int = 12,
+        hidden: int = 16,
+        cap_dim: int = 4,
+        char_mode: str = "CNN",
+        seed: int = 42,
+    ) -> "TaggerWeights":
+        """Deterministic random weights (testing / differential goldens).
+
+        Real deployments load trained weights via :meth:`from_npz`.
+        """
+        rng = np.random.default_rng(seed)
+        T = num_tags + 2
+
+        def u(*shape):
+            return rng.uniform(-0.1, 0.1, size=shape).astype(np.float32)
+
+        def lstm(in_dim, h):
+            return (u(4 * h, in_dim), u(4 * h, h), u(4 * h))
+
+        char_repr_dim = char_out if char_mode == "CNN" else 2 * char_out
+        in_dim = word_dim + char_repr_dim + (cap_dim if cap_dim else 0)
+        trans = rng.uniform(-0.2, 0.2, size=(T, T)).astype(np.float32)
+        return TaggerWeights(
+            word_emb=u(vocab_size, word_dim),
+            char_emb=u(char_vocab_size, char_dim),
+            char_mode=char_mode,
+            cnn_w=u(char_out, 3, char_dim) if char_mode == "CNN" else None,
+            cnn_b=u(char_out) if char_mode == "CNN" else None,
+            char_lstm_fw=lstm(char_dim, char_out) if char_mode == "LSTM" else None,
+            char_lstm_bw=lstm(char_dim, char_out) if char_mode == "LSTM" else None,
+            cap_emb=u(4, cap_dim) if cap_dim else None,
+            lstm_fw=lstm(in_dim, hidden),
+            lstm_bw=lstm(in_dim, hidden),
+            proj_w=u(2 * hidden, T),
+            proj_b=u(T),
+            transitions=trans,
+            meta={"hidden": hidden, "char_mode": char_mode},
+        )
+
+    def to_npz(self, path: str) -> None:
+        flat: dict[str, np.ndarray] = {}
+        for k in ("word_emb", "char_emb", "cnn_w", "cnn_b", "cap_emb",
+                  "proj_w", "proj_b", "transitions"):
+            v = getattr(self, k)
+            if v is not None:
+                flat[k] = v
+        for name in ("char_lstm_fw", "char_lstm_bw", "lstm_fw", "lstm_bw"):
+            v = getattr(self, name)
+            if v is not None:
+                for i, part in enumerate(v):
+                    flat[f"{name}_{i}"] = part
+        flat["char_mode"] = np.array(self.char_mode)
+        np.savez(path, **flat)
+
+    @staticmethod
+    def from_npz(path: str) -> "TaggerWeights":
+        z = np.load(path, allow_pickle=False)
+        char_mode = str(z["char_mode"])
+
+        def triple(name):
+            return tuple(z[f"{name}_{i}"] for i in range(3)) if f"{name}_0" in z else None
+
+        return TaggerWeights(
+            word_emb=z["word_emb"], char_emb=z["char_emb"], char_mode=char_mode,
+            cnn_w=z.get("cnn_w"), cnn_b=z.get("cnn_b"),
+            char_lstm_fw=triple("char_lstm_fw"), char_lstm_bw=triple("char_lstm_bw"),
+            cap_emb=z.get("cap_emb"),
+            lstm_fw=triple("lstm_fw"), lstm_bw=triple("lstm_bw"),
+            proj_w=z["proj_w"], proj_b=z["proj_b"], transitions=z["transitions"],
+        )
+
+
+def neural_emissions(
+    weights: TaggerWeights,
+    word_ids: list[list[int]],       # per sentence
+    char_ids: list[list[list[int]]],  # per sentence per word
+    cap_ids: list[list[int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full M1→M6 forward for a batch of sentences.
+
+    Chars are flattened across the batch (one row per word) exactly like
+    the reference's batching (processor.py:10-15), then scattered back.
+    Returns (emissions [B, L, num_tags], lengths [B]). START/STOP columns
+    of the projection are forced IMPOSSIBLE so decode never emits them.
+    """
+    from .crf import IMPOSSIBLE
+
+    B = len(word_ids)
+    lengths = np.array([len(s) for s in word_ids], dtype=np.int64)
+    L = max(1, int(lengths.max()) if B else 1)
+
+    # ---- char representations, flattened across batch
+    flat_chars: list[list[int]] = [cw for sent in char_ids for cw in sent]
+    if weights.char_mode == "CNN":
+        char_rep_flat = char_cnn(flat_chars, weights.char_emb, weights.cnn_w, weights.cnn_b)
+    else:
+        char_rep_flat = char_bilstm(flat_chars, weights.char_emb,
+                                    weights.char_lstm_fw, weights.char_lstm_bw)
+    c_dim = char_rep_flat.shape[1] if char_rep_flat.size else 0
+
+    w_dim = weights.word_emb.shape[1]
+    cap_dim = weights.cap_emb.shape[1] if weights.cap_emb is not None else 0
+    D = w_dim + c_dim + cap_dim
+    x = np.zeros((B, L, D), dtype=np.float32)
+    pos = 0
+    for b in range(B):
+        n = lengths[b]
+        if n == 0:
+            continue
+        wv = weights.word_emb[np.asarray(word_ids[b], dtype=np.int64)]
+        parts = [wv, char_rep_flat[pos:pos + n]]
+        if cap_dim:
+            parts.append(weights.cap_emb[np.asarray(cap_ids[b], dtype=np.int64)])
+        x[b, :n, :] = np.concatenate(parts, axis=1)
+        pos += n
+
+    h_f = lstm_forward(x, lengths, *weights.lstm_fw)
+    h_b = lstm_forward(x, lengths, *weights.lstm_bw, reverse=True)
+    h = np.concatenate([h_f, h_b], axis=2)  # [B, L, 2H]
+    feats = h @ weights.proj_w + weights.proj_b  # [B, L, T+2]
+    T = weights.num_tags
+    feats[:, :, T:] = IMPOSSIBLE  # START/STOP never emitted
+    return feats[:, :, :T].astype(np.float32), lengths

@@ -1,0 +1,121 @@
+"""C1 — BIOES/IOB span extraction: tags array → entity mention spans.
+
+Implements the conlleval chunk-boundary semantics
+(/root/reference/conlleval.py:33-82): a stateful scan with
+``is_chunk_start`` / ``is_chunk_end`` predicates that resolves
+contradictory transitions (``B-PER I-LOC`` starts a new LOC chunk) and
+closes a chunk left open at end-of-sequence — which also subsumes the
+reference's sentinel-append trick (C2, /root/reference/word_rep.py:131-134):
+no sentinel token is ever materialized here.
+
+Spark hosting: pandas UDF producing ``array<struct<start,end,tag_type,
+surface>>``, then ``explode`` → the mentions table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                               StructField, StructType)
+
+
+def _split(tag: str) -> tuple[str, str]:
+    if tag == "O" or not tag:
+        return "O", ""
+    if "-" in tag:
+        p, t = tag.split("-", 1)
+        return p, t
+    return tag, ""
+
+
+def is_chunk_end(prev_tag: str, tag: str) -> bool:
+    """Did a chunk end BETWEEN prev_tag and tag? (conlleval.py:60-82)"""
+    pp, pt = _split(prev_tag)
+    cp, ct = _split(tag)
+    if pp in ("E", "S"):
+        return True
+    if pp in ("B", "I") and cp in ("B", "S", "O"):
+        return True
+    if pp != "O" and pt != ct:
+        return True
+    return False
+
+
+def is_chunk_start(prev_tag: str, tag: str) -> bool:
+    """Did a chunk start AT tag? (conlleval.py:33-58)"""
+    pp, pt = _split(prev_tag)
+    cp, ct = _split(tag)
+    if cp in ("B", "S"):
+        return True
+    if pp in ("E", "S", "O") and cp in ("I", "E"):
+        return True
+    if cp != "O" and pt != ct:
+        return True
+    return False
+
+
+def extract_spans(tags: list[str], tokens: list[str] | None = None) -> list[dict]:
+    """Pure scan: tag sequence → [{start, end, tag_type, surface}].
+
+    ``end`` is exclusive. ``surface`` is the space-joined tokens
+    (lowercase-free: normalization happens downstream, never here).
+    """
+    spans: list[dict] = []
+    prev = "O"
+    open_start, open_type = None, None
+    for i, tag in enumerate(tags):
+        if open_start is not None and is_chunk_end(prev, tag):
+            spans.append({"start": open_start, "end": i, "tag_type": open_type})
+            open_start, open_type = None, None
+        _, ct = _split(tag)
+        if is_chunk_start(prev, tag) and ct:
+            open_start, open_type = i, ct
+        prev = tag
+    if open_start is not None:
+        spans.append({"start": open_start, "end": len(tags), "tag_type": open_type})
+    if tokens is not None:
+        for s in spans:
+            s["surface"] = " ".join(tokens[s["start"]:s["end"]])
+    return spans
+
+
+_SPAN_SCHEMA = ArrayType(StructType([
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("tag_type", StringType()),
+    StructField("surface", StringType()),
+]))
+
+
+@F.pandas_udf(_SPAN_SCHEMA)
+def extract_spans_udf(tags: pd.Series, tokens: pd.Series) -> pd.Series:
+    out = []
+    for tg, tk in zip(tags, tokens):
+        if tg is None:
+            out.append([])
+            continue
+        spans = extract_spans(list(tg), list(tk) if tk is not None else None)
+        out.append([(s["start"], s["end"], s["tag_type"], s.get("surface")) for s in spans])
+    return pd.Series(out)
+
+
+def mentions_table(tagged: DataFrame) -> DataFrame:
+    """(url, sent_id, tokens, pred_tags) → exploded mentions table.
+
+    One output row per detected entity mention.
+    """
+    return (
+        tagged
+        .withColumn("spans", extract_spans_udf(F.col("pred_tags"), F.col("tokens")))
+        .select("url", "sent_id", F.posexplode_outer("spans").alias("mention_id", "span"))
+        .filter(F.col("span").isNotNull())
+        .select(
+            "url", "sent_id", "mention_id",
+            F.col("span.start").alias("start"),
+            F.col("span.end").alias("end"),
+            F.col("span.tag_type").alias("tag_type"),
+            F.col("span.surface").alias("surface"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Triple extraction: mentions + sentence context → (subj, pred, obj).
+
+C6 re-expressed relationally (SURVEY §2.8): the reference carries NER
+tags through a dependency parse (/root/reference/dependency_paraphraser/
+udpipe.py:63-102) — no parser ships in this environment, so the primary
+extractor is the pattern/co-occurrence path SURVEY §7 Phase 3 specifies:
+
+* mention pairs within a sentence (self-join on (url, sent_id), ordered,
+  non-overlapping) — entirely JVM-side;
+* predicate = the token run BETWEEN the two mentions, matched against a
+  broadcast predicate lexicon (equi broadcast join, J5 shape);
+* optional co-occurrence fallback (``cooccurs_with``) for pairs within
+  ``window`` tokens that match no pattern.
+
+At 100 TB the self-join is per-sentence (key = (url, sent_id)) so it
+shuffles both sides on the same key once; mentions-per-sentence is tiny,
+so no pair explosion. The lexicon join is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mention_pairs(mentions: DataFrame, tagged: DataFrame) -> DataFrame:
+    """Ordered in-sentence mention pairs with the between-token phrase.
+
+    ``tagged`` supplies the tokens array (url, sent_id, tokens).
+    """
+    m1 = mentions.alias("m1")
+    m2 = mentions.alias("m2")
+    pairs = (
+        m1.join(m2, on=[
+            F.col("m1.url") == F.col("m2.url"),
+            F.col("m1.sent_id") == F.col("m2.sent_id"),
+            F.col("m1.end") <= F.col("m2.start"),
+        ])
+        .select(
+            F.col("m1.url").alias("url"),
+            F.col("m1.sent_id").alias("sent_id"),
+            F.col("m1.mention_id").alias("subj_mention_id"),
+            F.col("m2.mention_id").alias("obj_mention_id"),
+            F.col("m1.surface").alias("subj_surface"),
+            F.col("m1.tag_type").alias("subj_type"),
+            F.col("m2.surface").alias("obj_surface"),
+            F.col("m2.tag_type").alias("obj_type"),
+            F.col("m1.end").alias("gap_start"),
+            F.col("m2.start").alias("gap_end"),
+        )
+    )
+    toks = tagged.select("url", "sent_id", "tokens")
+    return (
+        pairs.join(toks, on=["url", "sent_id"])
+        .withColumn(
+            "between",
+            F.array_join(
+                F.slice(
+                    F.col("tokens"),
+                    F.col("gap_start") + 1,          # slice() is 1-based
+                    F.col("gap_end") - F.col("gap_start"),
+                ),
+                " ",
+            ),
+        )
+        .drop("tokens")
+    )
+
+
+def extract_triples(
+    mentions: DataFrame,
+    tagged: DataFrame,
+    predicate_lexicon: dict[str, str],
+    cooccurrence_window: int | None = None,
+) -> DataFrame:
+    """→ (url, sent_id, subj_surface, subj_type, pred, obj_surface,
+    obj_type, subj_mention_id, obj_mention_id).
+
+    Pattern triples via broadcast lexicon equi-join on the between-phrase;
+    optional windowed co-occurrence fallback for unmatched pairs.
+    """
+    spark = mentions.sparkSession
+    lex = spark.createDataFrame(
+        sorted(predicate_lexicon.items()), "between string, pred string")
+    pairs = mention_pairs(mentions, tagged)
+    pattern = pairs.join(F.broadcast(lex), on="between", how="inner")
+    out_cols = [
+        "url", "sent_id", "subj_surface", "subj_type", "pred",
+        "obj_surface", "obj_type", "subj_mention_id", "obj_mention_id",
+    ]
+    result = pattern.select(*out_cols)
+    if cooccurrence_window is not None:
+        coocc = (
+            pairs.join(F.broadcast(lex), on="between", how="left_anti")
+            .filter(F.col("gap_end") - F.col("gap_start") <= cooccurrence_window)
+            .withColumn("pred", F.lit("cooccurs_with"))
+            .select(*out_cols)
+        )
+        result = result.unionByName(coocc)
+    return result
+
+
+def canonical_triples(triples: DataFrame, links: DataFrame) -> DataFrame:
+    """Resolve subject/object surfaces → canonical entity ids via the
+    per-mention link table (url, sent_id, mention_id, canonical_id)."""
+    l_subj = links.select(
+        "url", "sent_id",
+        F.col("mention_id").alias("subj_mention_id"),
+        F.col("canonical_id").alias("subj_id"))
+    l_obj = links.select(
+        "url", "sent_id",
+        F.col("mention_id").alias("obj_mention_id"),
+        F.col("canonical_id").alias("obj_id"))
+    return (
+        triples
+        .join(l_subj, on=["url", "sent_id", "subj_mention_id"])
+        .join(l_obj, on=["url", "sent_id", "obj_mention_id"])
+        .select("url", "sent_id", "subj_id", "pred", "obj_id",
+                "subj_surface", "obj_surface")
+    )
