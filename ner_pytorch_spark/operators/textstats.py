@@ -1,0 +1,167 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All primary paths are native Column expressions (JVM, codegen); the
+rolling-hash fingerprint is the one pandas UDF (no native 64-bit poly
+hash). Oracle-checkable: every native op has a direct ANSI-SQL twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Tiny per-language stopword lists (deterministic, engine-agnostic).
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "was", "for", "on", "with",
+           "a", "an", "that", "this", "it", "by", "at", "from", "as", "are"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+           "im", "auf", "ein", "eine", "nicht", "am", "wird", "dem"),
+    "fr": ("le", "la", "les", "et", "de", "des", "un", "une", "est", "en",
+           "du", "dans", "que", "pour", "sur", "avec", "au"),
+}
+
+
+def tokens_lower(text_col: str = "text") -> Column:
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def stopword_ratio(tokens: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.when(F.size(tokens) > 0,
+                  F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+                  / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """n-gram-free heuristic language ID: argmax stopword ratio.
+
+    → (doc_id, pred_lang, confidence). Deterministic tie-break by
+    language code (ascending) at equal ratios; 'und' when all zero.
+    """
+    toks = F.col("_toks")
+    df = docs.select(F.col(id_col).alias("doc_id"),
+                     tokens_lower(text_col).alias("_toks"))
+    ratios = [stopword_ratio(toks, lang).alias(f"r_{lang}")
+              for lang in sorted(STOPWORDS)]
+    df = df.select("doc_id", *ratios)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"r_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties (matches SQL CASE order)
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"r_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return df.select(
+        "doc_id",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        F.round(best, 6).alias("confidence"))
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword / word-shape quality features.
+
+    → (doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio_en, digit_ratio, quality). ``quality`` is a fixed
+    deterministic formula ∈ [0,1] combining the features — a filterable
+    score, not a learned model.
+    """
+    toks = tokens_lower(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(n_tokens > 0,
+                      F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                      / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))) / n_chars
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))) / n_chars
+    ).otherwise(F.lit(0.0))
+    sw_en = stopword_ratio(toks, "en")
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.3
+        + F.least(sw_en * 4, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+        + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_en, 6).alias("stopword_ratio_en"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword piece estimate.
+
+    → (doc_id, n_ws_tokens, n_bpe_pieces). The BPE-ish count splits on
+    word boundaries AND digit/letter transitions (regexp extract-all) —
+    a deterministic proxy for tokenizer budgeting.
+    """
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    pieces = F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        pieces.alias("n_bpe_pieces"))
+
+
+# --------------------------------------------------------- fingerprint
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Winnowing-style document fingerprint: min rolling polynomial hash
+    over byte windows (deterministic; UDF-hosted)."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        h = 0
+        for b in data:
+            h = (h * _BASE + b) % _MOD
+        return h - (1 << 62) if h > (1 << 62) else h
+    h = 0
+    pw = pow(_BASE, window - 1, _MOD)
+    best = None
+    for i, b in enumerate(data):
+        h = (h * _BASE + b) % _MOD
+        if i >= window:
+            h = (h - data[i - window] * pw * _BASE) % _MOD
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best - (1 << 62) if best > (1 << 62) else best
+
+
+@F.pandas_udf(LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: rolling_fingerprint(t) if t is not None else None)
+
+
+def document_fingerprints(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, fingerprint int64, content_digest md5).
+
+    The md5 content digest is the oracle-checkable exact-identity key;
+    the rolling fingerprint is robust to tail edits.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_udf(F.col(text_col)).alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("content_digest"))

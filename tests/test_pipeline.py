@@ -1,0 +1,100 @@
+"""End-to-end KG pipeline: triple P/R gate, checkpoint-resume equality,
+lineage + metrics tables (north-rule contracts)."""
+
+import pytest
+
+from ner_pytorch_spark import datagen
+from ner_pytorch_spark.plans.kg_pipeline import KGPipeline, salted_repartition
+
+N_PAGES = 150
+
+
+@pytest.fixture(scope="module")
+def gold():
+    pages, mentions, triples = datagen.generate_pages(N_PAGES)
+    return pages, mentions, triples
+
+
+def _triple_set(df):
+    return {(r.url, r.sent_id, r.subj_id, r.pred, r.obj_id) for r in df.collect()}
+
+
+def test_pipeline_pr_gate(spark, gold, tmp_path):
+    pages = datagen.pages_dataframe(spark, N_PAGES)
+    pipe = KGPipeline(spark, str(tmp_path / "cat"), datagen.alias_rows())
+    out = pipe.run(pages)
+    got = _triple_set(out["edges"])
+    want = {(g["url"], g["sent_id"], g["subj_id"], g["pred"], g["obj_id"])
+            for g in gold[2]}
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(want), 1)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_mentions_match_gold(spark, gold, tmp_path):
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages = datagen.pages_dataframe(spark, N_PAGES)
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=datagen.alias_rows())
+    got = {(r.url, r.sent_id, r.start, r.end, r.tag_type, r.surface)
+           for r in mentions_table(tagged).collect()}
+    want = {(m["url"], m["sent_id"], m["start"], m["end"], m["tag_type"], m["surface"])
+            for m in gold[1]}
+    assert got == want
+
+
+def test_resume_equals_single_run(spark, tmp_path):
+    pages = datagen.pages_dataframe(spark, 60)
+    aliases = datagen.alias_rows()
+
+    single = KGPipeline(spark, str(tmp_path / "single"), aliases)
+    full = single.run(pages)
+
+    # simulate a job killed after the mentions stage: run stages 1-3 only
+    partial = KGPipeline(spark, str(tmp_path / "resumed"), aliases)
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    s = partial._stage("sentences", False,
+                       lambda: sentences_table(salted_repartition(pages, salt=64)))
+    t = partial._stage("tagged", False, lambda: tag_sentences(
+        s, mode="gazetteer", aliases=aliases))
+    partial._stage("mentions", False, lambda: mentions_table(t))
+
+    resumed = KGPipeline(spark, str(tmp_path / "resumed"), aliases)
+    out2 = resumed.run(pages, resume=True)
+
+    for name in ("mentions", "edges", "nodes"):
+        a = sorted(map(tuple, full[name].collect()))
+        b = sorted(map(tuple, out2[name].collect()))
+        assert a == b, f"resume mismatch in {name}"
+
+
+def test_lineage_and_metrics_written(spark, tmp_path):
+    pages = datagen.pages_dataframe(spark, 30)
+    pipe = KGPipeline(spark, str(tmp_path / "cat"), datagen.alias_rows())
+    pipe.run(pages)
+    metrics = pipe.catalog.read("_metrics")
+    lineage = pipe.catalog.read("_lineage")
+    stages = {r.stage for r in metrics.select("stage").distinct().collect()}
+    assert {"sentences", "tagged", "mentions", "links", "triples",
+            "edges", "entity_nodes"} <= stages
+    assert lineage.filter("n_rows > 0").count() > 0
+    # lineage totals per stage == table row counts
+    sent_total = sum(r.n_rows for r in lineage.filter("stage='sentences'").collect())
+    assert sent_total == pipe.catalog.read("sentences").count()
+
+
+def test_salted_repartition_spreads_hot_domain(spark):
+    rows = [(f"https://hot.example.com/{i}", "x") for i in range(400)]
+    df = spark.createDataFrame(rows, "url string, text string")
+    from pyspark.sql import functions as F
+
+    out = salted_repartition(df, salt=16, partitions=16)
+    per_part = (out.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect())
+    # one hot domain must land on >1 partition (salting works)
+    assert len(per_part) > 1

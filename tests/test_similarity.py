@@ -1,0 +1,83 @@
+"""Similarity search: brute force vs broadcast vs LSH recall."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(42)
+    # 10 cluster centers, 8 points each → meaningful neighbors
+    centers = rng.standard_normal((10, 16))
+    rows = []
+    for i in range(80):
+        v = centers[i % 10] + 0.1 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_broadcast_matches_bruteforce(emb_df):
+    from ner_pytorch_spark.operators.similarity import broadcast_topk, cosine_topk
+
+    bf = {(r.vec_id, r.rank): r.neighbor_id for r in cosine_topk(emb_df, k=3).collect()}
+    bc = {(r.vec_id, r.rank): r.neighbor_id
+          for r in broadcast_topk(emb_df, emb_df, k=3).collect()}
+    assert bf == bc
+
+
+def test_lsh_recall(emb_df):
+    from ner_pytorch_spark.operators.similarity import cosine_topk, lsh_topk
+
+    bf = {}
+    for r in cosine_topk(emb_df, k=3).collect():
+        bf.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in lsh_topk(emb_df, k=3, n_bits=4, n_tables=4).collect():
+        approx.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & approx.get(q, set())) for q in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.7, f"LSH recall too low: {hits/total}"
+
+
+def test_cosine_self_excluded(emb_df):
+    from ner_pytorch_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(emb_df, k=3)
+    assert out.filter("vec_id = neighbor_id").count() == 0
+
+
+def test_linking_candidates(spark):
+    """J4 shape: per-tag-type broadcast kNN with exact-surface top hit."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.linking import candidate_links, link_mentions
+
+    aliases = datagen.alias_rows()
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, "Obama", "PER"), ("u", 0, 1, "Acme Corp", "ORG"),
+         ("u", 1, 0, "Paris", "LOC")],
+        "url string, sent_id int, mention_id int, surface string, tag_type string")
+    # replace unknown PER surface with a known one for the exactness check
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, "Alice Johnson", "PER"), ("u", 0, 1, "Acme Corp", "ORG"),
+         ("u", 1, 0, "Paris", "LOC")],
+        "url string, sent_id int, mention_id int, surface string, tag_type string")
+    links = link_mentions(candidate_links(mentions, aliases, k=3)).collect()
+    by_surface = {r.surface: r for r in links}
+    assert by_surface["Alice Johnson"].candidate_surface == "Alice Johnson"
+    assert by_surface["Acme Corp"].canonical_id == 16  # Acme Corporation group
+    assert by_surface["Paris"].tag_type == "LOC"
+
+
+def test_farthest_and_dropself(spark):
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.linking import candidate_links
+
+    aliases = datagen.alias_rows()
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, "Paris", "LOC")],
+        "url string, sent_id int, mention_id int, surface string, tag_type string")
+    near = candidate_links(mentions, aliases, k=3, drop_self=True).collect()
+    assert all(r.candidate_surface != "Paris" for r in near)
+    far = candidate_links(mentions, aliases, k=3, farthest=True).collect()
+    # farthest query never returns the self surface first
+    assert far[0].candidate_surface != "Paris"

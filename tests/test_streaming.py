@@ -1,0 +1,28 @@
+"""Structured Streaming: stream output == batch output (availableNow)."""
+
+from ner_pytorch_spark import datagen
+from ner_pytorch_spark.operators.spans import mentions_table
+from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+from ner_pytorch_spark.streaming.pages_stream import (mentions_stream,
+                                                      read_pages_stream,
+                                                      run_to_sink)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    pages = datagen.pages_dataframe(spark, 40)
+    src = str(tmp_path / "pages_in")
+    pages.write.parquet(src)
+    aliases = datagen.alias_rows()
+
+    stream = read_pages_stream(spark, src)
+    out_path = str(tmp_path / "mentions_out")
+    q = run_to_sink(mentions_stream(stream, aliases), out_path,
+                    str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    batch = mentions_table(tag_sentences(
+        sentences_table(spark.read.parquet(src)), mode="gazetteer",
+        aliases=aliases))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
