@@ -27,8 +27,19 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------- helpers
 
 
+# Driver testdata parquet is written as a single row group per table, so
+# a bare scan is ONE task and every narrow chain after it runs serially.
+# Fan-out tables get an explicit repartition after the scan (at real
+# scale inputs arrive in many splits and this is a no-op decision).
+_FANOUT_TABLES = {"documents", "embeddings", "lineitem", "orders",
+                  "events", "customer", "part"}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table in _FANOUT_TABLES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # Alias bank over the testdata word-salad vocabulary so the full

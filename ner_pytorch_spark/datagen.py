@@ -178,8 +178,77 @@ def _sentence_from_template(rng: np.random.Generator, ents_by_type):
     return tokens, mentions, (subj.canonical_id, pred, obj.canonical_id)
 
 
+def _ents_by_type() -> dict[str, list[Entity]]:
+    out: dict[str, list[Entity]] = {}
+    for e in gazetteer():
+        out.setdefault(e.tag_type, []).append(e)
+    return out
+
+
+def generate_page(i: int, seed: int = SEED, ents_by_type=None, dom_w=None):
+    """Generate page ``i`` independently (per-page rng seeded by
+    (seed, i)) → (page dict, gold_mentions, gold_triples).
+
+    Per-page determinism is what lets the corpus synthesize ON THE
+    EXECUTORS — at bench/scale the pages table is produced by a
+    distributed ``spark.range(n) → mapInPandas`` with no driver
+    materialization, exactly how a real 10^12-row synthetic input would
+    be laid down.
+    """
+    rng = np.random.default_rng([seed, i])
+    if ents_by_type is None:
+        ents_by_type = _ents_by_type()
+    if dom_w is None:
+        dom_w = _zipf_weights(len(_DOMAINS))
+    base_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    gold_mentions, gold_triples = [], []
+    domain = _DOMAINS[int(rng.choice(len(_DOMAINS), p=dom_w))]
+    url = f"https://{domain}/page/{i:08d}"
+    warc_ts = base_ts + timedelta(days=int(rng.integers(0, 90)),
+                                  seconds=int(rng.integers(0, 86400)))
+    lang = "en" if rng.random() < 0.95 else str(_pick(rng, ["de", "fr"]))
+
+    n_sent = int(rng.integers(2, 7))
+    body_lines: list[str] = []
+    title = f"Daily briefing {i % 100}"
+    sent_id = 1  # 0 is the title line
+    for _ in range(n_sent):
+        if lang != "en":
+            body_lines.append(_pick(rng, _FILLER_DE))
+            sent_id += 1
+            continue
+        if rng.random() < 0.6:
+            tokens, mentions, triple = _sentence_from_template(rng, ents_by_type)
+            body_lines.append(" ".join(tokens))
+            for (s, e, tt, surf) in mentions:
+                gold_mentions.append(
+                    {"url": url, "sent_id": sent_id, "start": s, "end": e,
+                     "tag_type": tt, "surface": surf})
+            gold_triples.append(
+                {"url": url, "sent_id": sent_id, "subj_id": triple[0],
+                 "pred": triple[1], "obj_id": triple[2]})
+        else:
+            body_lines.append(_pick(rng, _FILLER))
+        sent_id += 1
+
+    paras = "".join(f"<p>{line}</p>" for line in body_lines)
+    noise = (
+        "<script>var x = 1; console.log('tracker');</script>"
+        "<style>p { color: #333; }</style>"
+        "<!-- generated page -->"
+    )
+    html = (
+        f"<html><head><title>{title}</title>{noise}</head>"
+        f"<body>{paras}</body></html>"
+    ).encode("utf-8")
+    text = extract_text(html)
+    page = {"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang}
+    return page, gold_mentions, gold_triples
+
+
 def generate_pages(n_pages: int, seed: int = SEED):
-    """Yield page dicts + gold rows. Deterministic in (n_pages, seed).
+    """Driver-side corpus + gold rows. Deterministic in (n_pages, seed).
 
     Returns (pages, gold_mentions, gold_triples):
       pages:        [{url, warc_ts, html, text, lang}]
@@ -187,57 +256,14 @@ def generate_pages(n_pages: int, seed: int = SEED):
       gold_triples: [{url, sent_id, subj_id, pred, obj_id}]
     sent_id counts non-empty text lines from the extractor (title = 0).
     """
-    rng = np.random.default_rng(seed)
-    ents = gazetteer()
-    ents_by_type: dict[str, list[Entity]] = {}
-    for e in ents:
-        ents_by_type.setdefault(e.tag_type, []).append(e)
-
+    ents = _ents_by_type()
     dom_w = _zipf_weights(len(_DOMAINS))
-    base_ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
-
     pages, gold_mentions, gold_triples = [], [], []
     for i in range(n_pages):
-        domain = _DOMAINS[int(rng.choice(len(_DOMAINS), p=dom_w))]
-        url = f"https://{domain}/page/{i:08d}"
-        warc_ts = base_ts + timedelta(days=int(rng.integers(0, 90)), seconds=int(rng.integers(0, 86400)))
-        lang = "en" if rng.random() < 0.95 else str(_pick(rng, ["de", "fr"]))
-
-        n_sent = int(rng.integers(2, 7))
-        body_lines: list[str] = []
-        title = f"Daily briefing {i % 100}"
-        sent_id = 1  # 0 is the title line
-        for _ in range(n_sent):
-            if lang != "en":
-                body_lines.append(_pick(rng, _FILLER_DE))
-                sent_id += 1
-                continue
-            if rng.random() < 0.6:
-                tokens, mentions, triple = _sentence_from_template(rng, ents_by_type)
-                body_lines.append(" ".join(tokens))
-                for (s, e, tt, surf) in mentions:
-                    gold_mentions.append(
-                        {"url": url, "sent_id": sent_id, "start": s, "end": e,
-                         "tag_type": tt, "surface": surf})
-                gold_triples.append(
-                    {"url": url, "sent_id": sent_id, "subj_id": triple[0],
-                     "pred": triple[1], "obj_id": triple[2]})
-            else:
-                body_lines.append(_pick(rng, _FILLER))
-            sent_id += 1
-
-        paras = "".join(f"<p>{line}</p>" for line in body_lines)
-        noise = (
-            "<script>var x = 1; console.log('tracker');</script>"
-            "<style>p { color: #333; }</style>"
-            "<!-- generated page -->"
-        )
-        html = (
-            f"<html><head><title>{title}</title>{noise}</head>"
-            f"<body>{paras}</body></html>"
-        ).encode("utf-8")
-        text = extract_text(html)
-        pages.append({"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang})
+        p, gm, gt = generate_page(i, seed, ents, dom_w)
+        pages.append(p)
+        gold_mentions.extend(gm)
+        gold_triples.extend(gt)
     return pages, gold_mentions, gold_triples
 
 
@@ -286,17 +312,23 @@ def alias_rows(dim: int = EMB_DIM) -> list[dict]:
     return rows
 
 
-def pages_dataframe(spark, n_pages: int, seed: int = SEED, partitions: int | None = None):
+PAGES_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+
+
+def pages_dataframe(spark, n_pages: int, seed: int = SEED,
+                    partitions: int | None = None, distributed: bool = False):
     """Materialize the synthetic pages corpus as a Spark DataFrame.
 
-    Generation happens driver-side (pure Python, ~50k pages in seconds)
-    then parallelized; at real scale this table would be an Iceberg scan,
-    not a generator.
+    ``distributed=True`` synthesizes pages ON THE EXECUTORS
+    (spark.range → mapInPandas over page ids, per-page rng) — no driver
+    materialization, the shape a 10^12-row synthetic input needs.
+    Driver-side (default) is convenient for small tests. Both produce
+    byte-identical rows for the same (n_pages, seed).
     """
     from pyspark.sql.types import (BinaryType, StringType, StructField,
                                    StructType, TimestampType)
 
-    pages, _, _ = generate_pages(n_pages, seed)
     schema = StructType([
         StructField("url", StringType(), False),
         StructField("warc_ts", TimestampType(), False),
@@ -304,6 +336,30 @@ def pages_dataframe(spark, n_pages: int, seed: int = SEED, partitions: int | Non
         StructField("text", StringType(), False),
         StructField("lang", StringType(), False),
     ])
+
+    if distributed:
+        import pandas as pd
+
+        n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+        def gen(batches):
+            ents = _ents_by_type()
+            dom_w = _zipf_weights(len(_DOMAINS))
+            for pdf in batches:
+                pages = [generate_page(int(i), seed, ents, dom_w)[0]
+                         for i in pdf["id"]]
+                yield pd.DataFrame({
+                    "url": [p["url"] for p in pages],
+                    "warc_ts": [p["warc_ts"].replace(tzinfo=None) for p in pages],
+                    "html": [p["html"] for p in pages],
+                    "text": [p["text"] for p in pages],
+                    "lang": [p["lang"] for p in pages],
+                })
+
+        df = spark.range(0, n_pages, 1, n_parts).mapInPandas(gen, schema)
+        return df
+
+    pages, _, _ = generate_pages(n_pages, seed)
     rows = [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in pages]
     df = spark.createDataFrame(rows, schema)
     if partitions:

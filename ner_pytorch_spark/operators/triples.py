@@ -23,6 +23,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sentence_local_triples(
+    tagged: DataFrame,
+    predicate_lexicon: dict[str, str],
+    cooccurrence_window: int | None = None,
+) -> DataFrame:
+    """Shuffle-free triple extraction (the 100 TB path).
+
+    Mention pairs are intra-sentence, so no self-join is needed at all:
+    spans are computed on the tagged row, pair-exploded WITHIN the row,
+    and the only join is the broadcast predicate lexicon. The physical
+    plan is scan → UDF → explode → explode → filter → broadcast-join —
+    zero exchanges.
+    """
+    from .spans import extract_spans_udf
+
+    spark = tagged.sparkSession
+    lex = spark.createDataFrame(
+        sorted(predicate_lexicon.items()), "between string, pred string")
+    sp = tagged.withColumn(
+        "spans", extract_spans_udf(F.col("pred_tags"), F.col("tokens")))
+    pairs = (
+        sp.select("url", "sent_id", "tokens", "spans",
+                  F.posexplode("spans").alias("subj_mention_id", "m1"))
+        .select("url", "sent_id", "tokens", "subj_mention_id", "m1",
+                F.posexplode("spans").alias("obj_mention_id", "m2"))
+        .filter(F.col("m1.end") <= F.col("m2.start"))
+        .select(
+            "url", "sent_id", "subj_mention_id", "obj_mention_id",
+            F.col("m1.surface").alias("subj_surface"),
+            F.col("m1.tag_type").alias("subj_type"),
+            F.col("m2.surface").alias("obj_surface"),
+            F.col("m2.tag_type").alias("obj_type"),
+            F.col("m1.end").alias("gap_start"),
+            F.col("m2.start").alias("gap_end"),
+            F.array_join(
+                F.slice(F.col("tokens"), F.col("m1.end") + 1,
+                        F.col("m2.start") - F.col("m1.end")), " ").alias("between"),
+        )
+    )
+    out_cols = [
+        "url", "sent_id", "subj_surface", "subj_type", "pred",
+        "obj_surface", "obj_type", "subj_mention_id", "obj_mention_id",
+    ]
+    result = pairs.join(F.broadcast(lex), on="between", how="inner").select(*out_cols)
+    if cooccurrence_window is not None:
+        coocc = (
+            pairs.join(F.broadcast(lex), on="between", how="left_anti")
+            .filter(F.col("gap_end") - F.col("gap_start") <= cooccurrence_window)
+            .withColumn("pred", F.lit("cooccurs_with"))
+            .select(*out_cols)
+        )
+        result = result.unionByName(coocc)
+    return result
+
+
 def mention_pairs(mentions: DataFrame, tagged: DataFrame) -> DataFrame:
     """Ordered in-sentence mention pairs with the between-token phrase.
 

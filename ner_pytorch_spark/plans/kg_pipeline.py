@@ -35,7 +35,7 @@ from ..operators.cc import connected_components
 from ..operators.linking import candidate_links, link_mentions
 from ..operators.spans import mentions_table
 from ..operators.tagger import sentences_table, tag_sentences
-from ..operators.triples import canonical_triples, extract_triples
+from ..operators.triples import canonical_triples, sentence_local_triples
 from .catalog import SnapshotCatalog
 
 
@@ -127,8 +127,8 @@ class KGPipeline:
             lambda: link_mentions(candidate_links(mentions, self.aliases, k=3)))
         triples = self._stage(
             "triples", resume,
-            lambda: extract_triples(
-                mentions, tagged, self.lexicon,
+            lambda: sentence_local_triples(
+                tagged, self.lexicon,
                 cooccurrence_window=self.cooccurrence_window))
         edges = self._stage(
             "edges", resume, lambda: canonical_triples(triples, links))

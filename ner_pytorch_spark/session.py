@@ -28,6 +28,12 @@ def get_spark(
     at cluster scale this would instead be sized from input bytes /
     target partition size; AQE coalesces the excess either way.
     """
+    # One BLAS thread per python worker: N workers × M BLAS threads
+    # oversubscribes the box and DESTROYS scaling of the UDF stage.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:

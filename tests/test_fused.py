@@ -1,0 +1,59 @@
+"""The fused single-crossing hot path must be semantically identical to
+the staged path (tag_sentences → mentions_table / sentence_local_triples)."""
+
+import pytest
+
+from ner_pytorch_spark import datagen
+from ner_pytorch_spark.operators.spans import mentions_table
+from ner_pytorch_spark.operators.tagger import (fused_mentions, fused_triples,
+                                                pages_to_mention_pairs,
+                                                sentences_table, tag_sentences)
+from ner_pytorch_spark.operators.triples import (extract_triples,
+                                                 sentence_local_triples)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = datagen.pages_dataframe(spark, 120)
+    aliases = datagen.alias_rows()
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=aliases).persist()
+    fused = pages_to_mention_pairs(pages, aliases).persist()
+    return pages, aliases, tagged, fused
+
+
+def test_fused_mentions_match_staged(spark, corpus):
+    _, _, tagged, fused = corpus
+    a = sorted(map(tuple, mentions_table(tagged).collect()))
+    b = sorted(map(tuple, fused_mentions(fused).collect()))
+    assert a == b
+
+
+def test_fused_triples_match_staged(spark, corpus):
+    _, _, tagged, fused = corpus
+    lex = datagen.PREDICATE_LEXICON
+    a = sorted(map(tuple, sentence_local_triples(tagged, lex).collect()))
+    b = sorted(map(tuple, fused_triples(fused, lex).collect()))
+    assert a == b
+
+
+def test_sentence_local_matches_join_based(spark, corpus):
+    _, _, tagged, _ = corpus
+    lex = datagen.PREDICATE_LEXICON
+    mentions = mentions_table(tagged)
+    a = sorted(map(tuple, extract_triples(mentions, tagged, lex).collect()))
+    b = sorted(map(tuple, sentence_local_triples(tagged, lex).collect()))
+    assert a == b
+
+
+def test_cooccurrence_fallback(spark, corpus):
+    _, _, tagged, fused = corpus
+    lex = datagen.PREDICATE_LEXICON
+    a = sorted(map(tuple, sentence_local_triples(
+        tagged, lex, cooccurrence_window=6).collect()))
+    b = sorted(map(tuple, fused_triples(
+        fused, lex, cooccurrence_window=6).collect()))
+    assert a == b
+    # fallback never drops pattern triples (template corpus: every pair
+    # matches a pattern, so counts are equal here)
+    assert len(a) >= sentence_local_triples(tagged, lex).count()
