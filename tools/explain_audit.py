@@ -1,0 +1,110 @@
+"""Physical-plan audit: assert the plans we claim are the plans we get.
+
+Checks (printed + asserted):
+  * fused KG path: ZERO Exchange operators end-to-end, lexicon join is
+    BroadcastHashJoin, html column pruned out of the scan
+  * tpch_q1: filter + column pruning pushed into the parquet scan,
+    partial (map-side) hash aggregation present
+  * region_rollup: both dimension joins are broadcast
+  * top_orders_per_cust: single shuffle on the window partition key
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def check(name, plan, must=(), must_not=()):
+    problems = []
+    for pat in must:
+        if not re.search(pat, plan):
+            problems.append(f"MISSING {pat!r}")
+    for pat in must_not:
+        if re.search(pat, plan):
+            problems.append(f"FORBIDDEN {pat!r} present")
+    status = "OK " if not problems else "FAIL"
+    print(f"{status} {name}" + ("" if not problems else f": {problems}"))
+    return not problems
+
+
+def main():
+    import __spark_entry__ as e
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.tagger import (fused_triples,
+                                                    pages_to_mention_pairs)
+    from ner_pytorch_spark.session import get_spark
+
+    spark = get_spark(cores=8)
+    ok = True
+
+    pages = datagen.pages_dataframe(spark, 50, distributed=True)
+    tr = fused_triples(pages_to_mention_pairs(pages, datagen.alias_rows()),
+                       datagen.PREDICATE_LEXICON)
+    plan = plan_of(tr)
+    ok &= check("fused_kg_zero_exchange", plan,
+                must=[r"BroadcastHashJoin"],
+                must_not=[r"\bExchange hashpartitioning", r"SortMergeJoin"])
+
+    q1 = e.q_tpch_q1(spark, SF)
+    plan = plan_of(q1)
+    ok &= check("tpch_q1_pushdown", plan,
+                must=[r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate",
+                      r"HashAggregate",
+                      r"ReadSchema: [^\n]*l_quantity"],
+                must_not=[r"ReadSchema: [^\n]*l_comment"])
+    # partial agg: two HashAggregate nodes (partial + final)
+    n_agg = len(re.findall(r"HashAggregate", plan))
+    print(("OK " if n_agg >= 2 else "FAIL") + f" tpch_q1_partial_agg ({n_agg} HashAggregate nodes)")
+    ok &= n_agg >= 2
+
+    rr = e.q_region_rollup(spark, SF)
+    plan = plan_of(rr)
+    # formatted mode prints each node in the tree AND the details list
+    n_b = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    both_bcast = n_b == 2 and "SortMergeJoin" not in plan
+    print(("OK " if both_bcast else "FAIL") + f" region_rollup_broadcast_joins ({n_b})")
+    ok &= both_bcast
+
+    topk = e.q_top_orders_per_cust(spark, SF)
+    plan = plan_of(topk)
+    ok &= check("window_topk_single_shuffle", plan,
+                must=[r"Window"],)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    print(("OK " if n_ex <= 2 else "FAIL") + f" window_topk_exchanges ({n_ex}; repartition+window)")
+    ok &= n_ex <= 2
+
+    # html never read from a parquet-backed pages table when the fused
+    # path only consumes (url, text) — column pruning reaches the scan
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pages.write.parquet(f"{td}/pages")
+        disk_pages = spark.read.parquet(f"{td}/pages")
+        sents_plan = plan_of(pages_to_mention_pairs(
+            disk_pages, datagen.alias_rows()))
+        m = re.search(r"ReadSchema: ([^\n]*)", sents_plan)
+        schema_line = m.group(1) if m else "?"
+        pruned = "html" not in schema_line and "url" in schema_line
+        print(("OK " if pruned else "FAIL")
+              + f" fused_column_pruning (ReadSchema: {schema_line})")
+        ok &= pruned
+
+    spark.stop()
+    print("AUDIT", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
