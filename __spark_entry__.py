@@ -361,6 +361,43 @@ def q_kg_entity_links(spark, sf_dir):
     return link_mentions(candidate_links(mentions, aliases, k=3))
 
 
+def q_kg_eval_prf(spark, sf_dir):
+    """A5-A7: chunk P/R/F1 of the tagger vs gold on the synthetic corpus
+    (rows-only; expected P=R=1.0 per type + OVERALL by construction)."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.evaluation import chunk_prf
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages_rows, gold_mentions, _ = datagen.generate_pages(300)
+    # gold IOBES tags per sentence, driver-side (tiny)
+    gold: dict[tuple, list] = {}
+    for p in pages_rows:
+        if p["lang"] != "en":
+            continue
+        for sid, line in enumerate(p["text"].split("\n")):
+            toks = line.split()
+            if toks:
+                gold[(p["url"], sid)] = ["O"] * len(toks)
+    for m in gold_mentions:
+        tags = gold[(m["url"], m["sent_id"])]
+        s, e, tt = m["start"], m["end"], m["tag_type"]
+        if e - s == 1:
+            tags[s] = f"S-{tt}"
+        else:
+            tags[s] = f"B-{tt}"
+            for i in range(s + 1, e - 1):
+                tags[i] = f"I-{tt}"
+            tags[e - 1] = f"E-{tt}"
+    gold_df = spark.createDataFrame(
+        [(u, s, t) for (u, s), t in gold.items()],
+        "url string, sent_id int, gold_tags array<string>")
+    pages = datagen.pages_dataframe(spark, 300)
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=datagen.alias_rows())
+    both = tagged.join(gold_df, on=["url", "sent_id"])
+    return chunk_prf(both)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_topk": q_vocab_topk,
@@ -390,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_entity_links": q_kg_entity_links,
+        "kg_eval_prf": q_kg_eval_prf,
     }
 
 
