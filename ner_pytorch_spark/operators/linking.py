@@ -144,6 +144,90 @@ def _pool(vecs: list[np.ndarray], pooling: str) -> np.ndarray:
     raise ValueError(pooling)
 
 
+def contextual_candidate_links(
+    mentions: DataFrame,
+    tagged: DataFrame,
+    aliases: list[dict],
+    k: int = 3,
+    pooling: str = "mean",
+    window: int = 5,
+    context_weight: float = 0.5,
+    emb_dim: int = 32,
+    drop_self: bool = False,
+) -> DataFrame:
+    """Context-embedding link scoring (M12 shape, north-star wording).
+
+    The query vector pools the mention SURFACE tokens plus (weighted)
+    the tokens within ``window`` positions around the span — the
+    pooled-GloVe stand-in for the reference's BERT mention-context
+    embedding (get_bert_embedding.py:24-36,113-121; A4 pooling). The
+    alias side and the top-k broadcast-matrix search are identical to
+    :func:`candidate_links`.
+
+    ``tagged`` supplies (url, sent_id, tokens); the join on
+    (url, sent_id) is the only shuffle.
+    """
+    from ..datagen import token_vector
+
+    spark = mentions.sparkSession
+    bc = spark.sparkContext.broadcast(build_alias_index(aliases, pooling))
+
+    withtok = mentions.select(
+        "url", "sent_id", "mention_id", "surface", "tag_type",
+        "start", "end",
+    ).join(tagged.select("url", "sent_id", "tokens"), on=["url", "sent_id"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows: dict[str, list] = {f.name: [] for f in _CAND_SCHEMA.fields}
+            for tt, grp in pdf.groupby("tag_type", sort=True):
+                entry = index.get(tt)
+                if entry is None:
+                    continue
+                mat, surfs, ids = entry["mat"], entry["surfaces"], entry["ids"]
+                qs = []
+                for _, mrow in grp.iterrows():
+                    surf_vecs = [token_vector(t, emb_dim)
+                                 for t in mrow["surface"].split(" ")]
+                    toks = list(mrow["tokens"])
+                    s, e = int(mrow["start"]), int(mrow["end"])
+                    ctx = toks[max(0, s - window):s] + toks[e:e + window]
+                    q = _pool(surf_vecs, pooling)
+                    if ctx and context_weight:
+                        q = q + context_weight * _pool(
+                            [token_vector(t, emb_dim) for t in ctx], pooling)
+                    qs.append(q)
+                q = _l2norm(np.stack(qs).astype(np.float32))
+                scores = q @ mat.T
+                kk = min(k + (1 if drop_self else 0), scores.shape[1])
+                top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                for row_pos, (_, mrow) in enumerate(grp.iterrows()):
+                    cand = top[row_pos]
+                    cand = cand[np.lexsort((cand, -scores[row_pos, cand]))]
+                    rank = 0
+                    for ci in cand:
+                        if drop_self and surfs[ci] == mrow["surface"]:
+                            continue
+                        if rank >= k:
+                            break
+                        out_rows["url"].append(mrow["url"])
+                        out_rows["sent_id"].append(mrow["sent_id"])
+                        out_rows["mention_id"].append(mrow["mention_id"])
+                        out_rows["surface"].append(mrow["surface"])
+                        out_rows["tag_type"].append(tt)
+                        out_rows["rank"].append(rank)
+                        out_rows["candidate_surface"].append(surfs[ci])
+                        out_rows["canonical_id"].append(int(ids[ci]))
+                        out_rows["score"].append(float(scores[row_pos, ci]))
+                        rank += 1
+            yield pd.DataFrame(out_rows)
+
+    return withtok.mapInPandas(run, _CAND_SCHEMA)
+
+
 def link_mentions(candidates: DataFrame) -> DataFrame:
     """Top-1 candidate per mention (deterministic tie-break on surface)."""
     from pyspark.sql import Window

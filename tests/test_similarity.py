@@ -81,3 +81,35 @@ def test_farthest_and_dropself(spark):
     far = candidate_links(mentions, aliases, k=3, farthest=True).collect()
     # farthest query never returns the self surface first
     assert far[0].candidate_surface != "Paris"
+
+
+def test_contextual_linking(spark):
+    """Context pooling shifts scores but exact-surface top-1 still wins;
+    context genuinely contributes to the query vector."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.linking import (candidate_links,
+                                                     contextual_candidate_links,
+                                                     link_mentions)
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages = datagen.pages_dataframe(spark, 30)
+    aliases = datagen.alias_rows()
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=aliases).persist()
+    mentions = mentions_table(tagged).persist()
+    ctx = contextual_candidate_links(mentions, tagged, aliases, k=3,
+                                     context_weight=0.5)
+    plain = candidate_links(mentions, aliases, k=3)
+    top_ctx = {(r.url, r.sent_id, r.mention_id): r.candidate_surface
+               for r in link_mentions(ctx).collect()}
+    # exact surface match dominates even with context noise
+    for r in mentions.collect():
+        assert top_ctx[(r.url, r.sent_id, r.mention_id)] == r.surface
+    # but scores differ from surface-only scoring (context used)
+    s_ctx = {(r.url, r.sent_id, r.mention_id, r.candidate_surface): r.score
+             for r in ctx.collect()}
+    s_plain = {(r.url, r.sent_id, r.mention_id, r.candidate_surface): r.score
+               for r in plain.collect()}
+    common = set(s_ctx) & set(s_plain)
+    assert any(abs(s_ctx[k] - s_plain[k]) > 1e-6 for k in common)
