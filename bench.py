@@ -96,6 +96,40 @@ def main():
         "triples_per_sec": round(n_triples / kg_secs, 1),
     }
 
+    # ---- neural inference stage at reference hyperparameters
+    # (word 100d, char-CNN 25, hidden 200 — arguments.py defaults):
+    # the numpy BiLSTM-CRF forward under broadcast weights, the stage a
+    # trained checkpoint would run through unchanged.
+    from ner_pytorch_spark.operators.tagger import (repartition_by_length,
+                                                    sentences_table,
+                                                    tag_sentences)
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+    from ner_pytorch_spark.operators.weights_io import build_tagger_weights
+
+    n_neural_pages = max(200, N_PAGES // 5)
+    npages = datagen.pages_dataframe(
+        spark, n_neural_pages, distributed=True).persist()
+    nsents = sentences_table(npages).persist()
+    n_sents = nsents.count()
+    v = build_vocab(nsents, min_count=1)
+    cv = char_vocab(nsents)
+    w, t2i, c2i = build_tagger_weights(
+        v, cv, word_dim=100, char_dim=25, char_out=25, hidden=200)
+    neural = tag_sentences(repartition_by_length(nsents), mode="neural",
+                           weights=w, vocab=t2i, char_vocab=c2i)
+    neural.count()  # warm
+    t0 = time.time()
+    neural.count()
+    neural_secs = time.time() - t0
+    queries["kg_neural_tag"] = round(neural_secs, 3)
+    extras["neural"] = {
+        "n_sentences": n_sents,
+        "sentences_per_sec": round(n_sents / neural_secs, 1),
+        "dims": "word100/char25/hidden200 (reference defaults)",
+    }
+    npages.unpersist()
+    nsents.unpersist()
+
     # ---- relational operators on driver testdata
     import __spark_entry__ as entrymod
 

@@ -278,3 +278,10 @@ def neural_emissions(
     T = weights.num_tags
     feats[:, :, T:] = IMPOSSIBLE  # START/STOP never emitted
     return feats[:, :, :T].astype(np.float32), lengths
+
+
+def argmax_decode(emissions: np.ndarray, lengths: np.ndarray) -> list[list[int]]:
+    """M9 — no-CRF decode (model.py:210-212): per-position argmax over
+    emissions; the flag-selected alternative to Viterbi."""
+    ids = emissions.argmax(axis=2)
+    return [ids[b, :int(lengths[b])].tolist() for b in range(len(lengths))]

@@ -119,3 +119,32 @@ def mentions_table(tagged: DataFrame) -> DataFrame:
             F.col("span.surface").alias("surface"),
         )
     )
+
+
+def merge_tag_runs(tokens: list[str], tags: list[str]) -> list[dict]:
+    """C5 — tag-run merge (paraphrase_model.py:43-63): collapse each
+    multi-token chunk (B-…I-…E- continuation run) and "'"-clitics into
+    a single node, keeping O tokens as their own nodes. Returns
+    [{text, tag_type, start, end}] covering the sentence — the node
+    sequence a downstream parser consumes."""
+    spans = extract_spans(tags, tokens)
+    by_start = {s["start"]: s for s in spans}
+    nodes: list[dict] = []
+    i = 0
+    while i < len(tokens):
+        s = by_start.get(i)
+        if s is not None:
+            nodes.append({"text": s["surface"], "tag_type": s["tag_type"],
+                          "start": s["start"], "end": s["end"]})
+            i = s["end"]
+            continue
+        # clitic merge: attach "'"-initial tokens to the previous O node
+        if (tokens[i].startswith("'") and nodes
+                and nodes[-1]["tag_type"] is None and nodes[-1]["end"] == i):
+            nodes[-1]["text"] += tokens[i]
+            nodes[-1]["end"] = i + 1
+        else:
+            nodes.append({"text": tokens[i], "tag_type": None,
+                          "start": i, "end": i + 1})
+        i += 1
+    return nodes

@@ -387,3 +387,21 @@ def fused_triples(
         )
         result = result.unionByName(coocc)
     return result
+
+
+# ------------------------------------------------- physical helpers
+
+
+def repartition_by_length(sentences: DataFrame, partitions: int | None = None) -> DataFrame:
+    """O1 — sort-by-length batching (loader.py:239, eval.py:122): range-
+    partition on token count and sort within partitions so Arrow batches
+    hold similar-length sentences → minimal padding waste in the padded
+    [B, L] tensors. Purely physical; no semantic effect (the fused/
+    tagged outputs are row-keyed, never order-dependent)."""
+    n = partitions or sentences.sparkSession.sparkContext.defaultParallelism
+    return (
+        sentences.withColumn("_len", F.size("tokens"))
+        .repartitionByRange(n, "_len")
+        .sortWithinPartitions(F.desc("_len"))
+        .drop("_len")
+    )

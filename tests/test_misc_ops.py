@@ -1,0 +1,52 @@
+"""O1 length batching, C5 tag-run merge, M9 argmax decode."""
+
+import numpy as np
+
+
+def test_repartition_by_length(spark):
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.tagger import (repartition_by_length,
+                                                    sentences_table)
+
+    sents = sentences_table(datagen.pages_dataframe(spark, 40))
+    out = repartition_by_length(sents, partitions=4)
+    # physical only: same rows
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, sents.collect()))
+    # within a partition, lengths are non-increasing
+    from pyspark.sql import functions as F
+
+    rows = (out.withColumn("pid", F.spark_partition_id())
+            .withColumn("len", F.size("tokens"))
+            .select("pid", "len").collect())
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.len)
+    for pid, lens in by_pid.items():
+        assert lens == sorted(lens, reverse=True), pid
+
+
+def test_merge_tag_runs():
+    from ner_pytorch_spark.operators.spans import merge_tag_runs
+
+    tokens = ["Alice", "Johnson", "'s", "firm", "visited", "Paris"]
+    tags = ["B-PER", "E-PER", "O", "O", "O", "S-LOC"]
+    nodes = merge_tag_runs(tokens, tags)
+    texts = [(n["text"], n["tag_type"]) for n in nodes]
+    assert texts == [("Alice Johnson", "PER"), ("'s", None), ("firm", None),
+                     ("visited", None), ("Paris", "LOC")]
+    # clitic merges into preceding O node
+    tokens2 = ["it", "'s", "fine"]
+    tags2 = ["O", "O", "O"]
+    nodes2 = merge_tag_runs(tokens2, tags2)
+    assert [n["text"] for n in nodes2] == ["it's", "fine"]
+
+
+def test_argmax_decode():
+    from ner_pytorch_spark.operators.encoder import argmax_decode
+
+    em = np.zeros((2, 3, 4))
+    em[0, 0, 2] = 5
+    em[0, 1, 1] = 5
+    em[1, 0, 3] = 5
+    paths = argmax_decode(em, np.array([2, 1]))
+    assert paths == [[2, 1], [3]]
