@@ -44,9 +44,11 @@ def lstm_forward(
     h = np.zeros((B, H), dtype=x.dtype)
     c = np.zeros((B, H), dtype=x.dtype)
     out = np.zeros((B, L, H), dtype=x.dtype)
+    # hoist the input projection: one [B*L, D] matmul instead of L small ones
+    xw = (x.reshape(B * L, D) @ w_ih.T + b).reshape(B, L, 4 * H)
     steps = range(L - 1, -1, -1) if reverse else range(L)
     for t in steps:
-        gates = x[:, t, :] @ w_ih.T + h @ w_hh.T + b  # [B, 4H]
+        gates = xw[:, t, :] + h @ w_hh.T  # [B, 4H]
         i = _sigmoid(gates[:, 0:H])
         f = _sigmoid(gates[:, H:2 * H])
         g = np.tanh(gates[:, 2 * H:3 * H])
@@ -81,14 +83,29 @@ def char_cnn(
         return reps
     w2 = w.reshape(out_ch, K * c_dim)
     pad = K - 1
+    lens = np.array([len(ids) for ids in char_ids], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return reps
+    # vectorized across ALL words: pad char ids into one [n, maxlen+2*pad]
+    # matrix (padding rows embed to zero via a sentinel zero-vector row)
+    C = char_emb.shape[0]
+    emb_aug = np.vstack([char_emb, np.zeros((1, c_dim), dtype=char_emb.dtype)])
+    ids_mat = np.full((n, maxlen + 2 * pad), C, dtype=np.int64)
     for idx, ids in enumerate(char_ids):
-        if not ids:
-            continue
-        e = char_emb[np.asarray(ids, dtype=np.int64)]  # [n_chars, c_dim]
-        e = np.pad(e, ((pad, pad), (0, 0)))
-        windows = np.lib.stride_tricks.sliding_window_view(e, (K, c_dim))[:, 0]
-        conv = windows.reshape(windows.shape[0], K * c_dim) @ w2.T + b
-        reps[idx] = conv.max(axis=0)
+        if ids:
+            ids_mat[idx, pad:pad + len(ids)] = ids
+    e = emb_aug[ids_mat]                                   # [n, T0, c_dim]
+    win = np.lib.stride_tricks.sliding_window_view(e, (K, c_dim), axis=(1, 2))
+    T1 = win.shape[1]                                      # maxlen + pad
+    conv = win.reshape(n, T1, K * c_dim) @ w2.T + b        # [n, T1, out_ch]
+    # valid windows for word of length m: first m + pad positions
+    t_idx = np.arange(T1)[None, :]
+    valid = t_idx < (lens + pad)[:, None]                  # [n, T1]
+    conv = np.where(valid[:, :, None], conv, -np.inf)
+    pooled = conv.max(axis=1)                              # [n, out_ch]
+    nonempty = lens > 0
+    reps[nonempty] = pooled[nonempty]
     return reps
 
 
@@ -259,17 +276,22 @@ def neural_emissions(
     cap_dim = weights.cap_emb.shape[1] if weights.cap_emb is not None else 0
     D = w_dim + c_dim + cap_dim
     x = np.zeros((B, L, D), dtype=np.float32)
-    pos = 0
-    for b in range(B):
-        n = lengths[b]
-        if n == 0:
-            continue
-        wv = weights.word_emb[np.asarray(word_ids[b], dtype=np.int64)]
-        parts = [wv, char_rep_flat[pos:pos + n]]
+    # vectorized scatter: one embedding gather over the flattened batch,
+    # then fancy-index assignment at (sentence, position) pairs
+    total = int(lengths.sum())
+    if total:
+        flat_words = np.fromiter(
+            (i for s in word_ids for i in s), dtype=np.int64, count=total)
+        rows = np.repeat(np.arange(B), lengths)
+        cols = np.concatenate([np.arange(n) for n in lengths]) \
+            if B else np.empty(0, dtype=np.int64)
+        x[rows, cols, :w_dim] = weights.word_emb[flat_words]
+        if c_dim:
+            x[rows, cols, w_dim:w_dim + c_dim] = char_rep_flat
         if cap_dim:
-            parts.append(weights.cap_emb[np.asarray(cap_ids[b], dtype=np.int64)])
-        x[b, :n, :] = np.concatenate(parts, axis=1)
-        pos += n
+            flat_caps = np.fromiter(
+                (i for s in cap_ids for i in s), dtype=np.int64, count=total)
+            x[rows, cols, w_dim + c_dim:] = weights.cap_emb[flat_caps]
 
     h_f = lstm_forward(x, lengths, *weights.lstm_fw)
     h_b = lstm_forward(x, lengths, *weights.lstm_bw, reverse=True)
