@@ -254,9 +254,13 @@ _FUSED_SCHEMA = StructType([
 
 def pages_to_mention_pairs(
     pages: DataFrame,
-    aliases: list[dict],
+    aliases: list[dict] | None = None,
     lang: str | None = "en",
     entity_types: tuple[str, ...] = ENTITY_TYPES,
+    mode: str = "gazetteer",
+    weights: TaggerWeights | None = None,
+    vocab: dict | None = None,
+    char_vocab: dict | None = None,
 ) -> DataFrame:
     """The 100 TB inference hot path: ONE Arrow crossing from pages.
 
@@ -276,16 +280,26 @@ def pages_to_mention_pairs(
     spark = pages.sparkSession
     tags = iobes_tags(entity_types)
     tag_ids = {t: i for i, t in enumerate(tags)}
-    bc = spark.sparkContext.broadcast({
-        "surface_index": build_surface_index(aliases),
-        "tag_ids": tag_ids, "tags": tags,
+    payload: dict = {
+        "mode": mode, "tag_ids": tag_ids, "tags": tags,
         "transitions": grammar_transitions(entity_types),
-    })
+    }
+    if mode == "gazetteer":
+        if aliases is None:
+            raise ValueError("gazetteer mode needs aliases")
+        payload["surface_index"] = build_surface_index(aliases)
+    elif mode == "neural":
+        if weights is None or vocab is None or char_vocab is None:
+            raise ValueError("neural mode needs weights + vocabs")
+        payload.update(weights=weights, vocab=vocab, chars=char_vocab,
+                       unk=vocab.get("<UNK>", 0))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    bc = spark.sparkContext.broadcast(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
-        sidx, tids, tlist, trans = (
-            v["surface_index"], v["tag_ids"], v["tags"], v["transitions"])
+        tlist, trans = v["tags"], v["transitions"]
         T = len(tlist)
         for pdf in batches:
             urls, sids, tok_lists = [], [], []
@@ -300,12 +314,23 @@ def pages_to_mention_pairs(
             if B == 0:
                 continue
             lengths = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
-            L = max(1, int(lengths.max()))
-            em = np.zeros((B, L, T), dtype=np.float32)
-            for b, toks in enumerate(tok_lists):
-                g = gazetteer_tag_ids(toks, sidx, tids)
-                em[b, np.arange(len(g)), g] = MATCH_SCORE
-            paths = viterbi_decode(em, lengths, trans)
+            if v["mode"] == "gazetteer":
+                sidx, tids = v["surface_index"], v["tag_ids"]
+                L = max(1, int(lengths.max()))
+                em = np.zeros((B, L, T), dtype=np.float32)
+                for b, toks in enumerate(tok_lists):
+                    g = gazetteer_tag_ids(toks, sidx, tids)
+                    em[b, np.arange(len(g)), g] = MATCH_SCORE
+                decode_trans = trans
+            else:
+                w: TaggerWeights = v["weights"]
+                feats = [featurize_sentence(t, v["vocab"], v["chars"], v["unk"])
+                         for t in tok_lists]
+                em, lengths = neural_emissions(
+                    w, [f[0] for f in feats], [f[1] for f in feats],
+                    [f[2] for f in feats])
+                decode_trans = w.transitions + trans  # grammar prior
+            paths = viterbi_decode(em, lengths, decode_trans)
             out = {k: [] for k in ("url", "sent_id", "kind", "a", "b", "c",
                                    "type_a", "type_b", "surf_a", "surf_b",
                                    "between")}

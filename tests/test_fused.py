@@ -57,3 +57,21 @@ def test_cooccurrence_fallback(spark, corpus):
     # fallback never drops pattern triples (template corpus: every pair
     # matches a pattern, so counts are equal here)
     assert len(a) >= sentence_local_triples(tagged, lex).count()
+
+def test_fused_neural_matches_staged_neural(spark, corpus):
+    """Fused neural mode == tag_sentences neural + staged mentions."""
+    from ner_pytorch_spark.operators.encoder import TaggerWeights
+    from ner_pytorch_spark.operators.tagset import iobes_tags
+
+    pages, _, _, _ = corpus
+    w = TaggerWeights.random_init(150, 50, len(iobes_tags()), seed=8)
+    vocab = {f"w{i}": i for i in range(149)}
+    vocab["<UNK>"] = 149
+    chars = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz .'-ABCDE")}
+    fusedn = pages_to_mention_pairs(
+        pages, mode="neural", weights=w, vocab=vocab, char_vocab=chars)
+    stagedn = tag_sentences(sentences_table(pages), mode="neural",
+                            weights=w, vocab=vocab, char_vocab=chars)
+    a = sorted(map(tuple, fused_mentions(fusedn).collect()))
+    b = sorted(map(tuple, mentions_table(stagedn).collect()))
+    assert a == b
