@@ -361,6 +361,41 @@ def q_kg_entity_links(spark, sf_dir):
     return link_mentions(candidate_links(mentions, aliases, k=3))
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min idle cutoff) — the same
+    cumulative-sum session segmentation as the CoNLL blank-line scan
+    (SURVEY S1), phrased over the events stream."""
+    e = _read(spark, sf_dir, "events").withColumn(
+        "epoch", F.col("ts").cast("timestamp_ltz").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("epoch") - F.lag("epoch").over(w)) > 1800
+    sess = (
+        e.withColumn("new_sess", F.coalesce(gap.cast("int"), F.lit(1)))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.max("epoch") - F.min("epoch")).alias("duration_secs"))
+    )
+
+
+def q_kg_entity_nodes(spark, sf_dir):
+    """Full canonicalization tail: links → surface↔canonical edges →
+    connected components → entity-node table (rows-only)."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.plans.kg_pipeline import KGPipeline
+    import tempfile
+
+    pages = datagen.pages_dataframe(spark, 300)
+    pipe = KGPipeline(spark, tempfile.mkdtemp(prefix="kgnodes"),
+                      datagen.alias_rows())
+    out = pipe.run(pages)
+    return out["nodes"].select(
+        "canonical_id", "entity_component", "canonical_surface",
+        "tag_type", "n_mentions")
+
+
 def q_kg_eval_prf(spark, sf_dir):
     """A5-A7: chunk P/R/F1 of the tagger vs gold on the synthetic corpus
     (rows-only; expected P=R=1.0 per type + OVERALL by construction)."""
@@ -428,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_entity_links": q_kg_entity_links,
         "kg_eval_prf": q_kg_eval_prf,
+        "kg_entity_nodes": q_kg_entity_nodes,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -661,6 +698,21 @@ SELECT doc_id,
   len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS n_ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_pieces
 FROM documents""",
+        "event_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER w > 1800 OR
+                   lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) AS duration_secs
+FROM s GROUP BY 1, 2""",
         "doc_components": f"""
 WITH j AS ({_jaccard_sql(1, 0.62)}),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM j
