@@ -27,3 +27,50 @@ def test_long_int_ids(spark):
 
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_random_graphs_vs_union_find(spark):
+    """Differential: Spark cc == pure union-find on random graphs."""
+    import numpy as np
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical component id = min node in component
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        out = {}
+        for root, members in comp.items():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    from ner_pytorch_spark.operators.cc import connected_components
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n_nodes = int(rng.integers(20, 60))
+        n_edges = int(rng.integers(10, 80))
+        edges = [(int(rng.integers(0, n_nodes)), int(rng.integers(0, n_nodes)))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component
+               for r in connected_components(df).collect()}
+        want = union_find_components(edges, nodes)
+        assert got == want, f"trial {trial}"

@@ -108,3 +108,24 @@ def test_weights_npz_roundtrip(tmp_path):
     em1, _ = neural_emissions(w, [[1, 2]], [[[1], [2]]], [[0, 1]])
     em2, _ = neural_emissions(w2, [[1, 2]], [[[1], [2]]], [[0, 1]])
     np.testing.assert_array_equal(em1, em2)
+
+
+def test_char_lstm_mode_spark_e2e(spark):
+    """M3: char-BiLSTM mode through the Spark tagger (CNN is default)."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.functions.tagscheme import iobes_iob
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages = datagen.pages_dataframe(spark, 10)
+    sents = sentences_table(pages)
+    w = TaggerWeights.random_init(
+        vocab_size=60, char_vocab_size=40, num_tags=len(iobes_tags()),
+        char_mode="LSTM", seed=21)
+    vocab = {f"w{i}": i for i in range(59)}
+    vocab["<UNK>"] = 59
+    chars = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz .,0'-ABCDE")}
+    out = tag_sentences(sents, mode="neural", weights=w, vocab=vocab,
+                        char_vocab=chars).collect()
+    assert len(out) == sents.count()
+    for r in out:
+        iobes_iob(list(r.pred_tags))
