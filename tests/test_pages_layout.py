@@ -33,3 +33,31 @@ def test_partition_pruning(spark, tmp_path):
                 .filter((F.col("dt") >= "2024-02-01") & (F.col("dt") < "2024-03-01"))
                 .count())
     assert n_pruned == expected
+
+
+def test_incremental_processing_equals_full(spark, tmp_path):
+    """Process days < D, then incrementally process days >= D; the union
+    of mention outputs equals one full run (snapshot-incremental
+    semantics on the day-partitioned layout)."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.sources.pages import incremental_pages
+
+    pages = datagen.pages_dataframe(spark, 120)
+    path = str(tmp_path / "pages")
+    write_pages_partitioned(pages, path)
+    aliases = datagen.alias_rows()
+
+    def mentions_of(df):
+        return sorted(map(tuple, mentions_table(
+            tag_sentences(sentences_table(df), mode="gazetteer",
+                          aliases=aliases)).collect()))
+
+    cutoff = "2024-02-15"
+    first = read_pages(spark, path, until=cutoff)
+    rest = incremental_pages(spark, path, cutoff)
+    assert first.count() + rest.count() == pages.count()
+    combined = sorted(mentions_of(first) + mentions_of(rest))
+    full = mentions_of(read_pages(spark, path))
+    assert combined == full
