@@ -159,22 +159,29 @@ def main():
         for cores in (lo, CPUS, lo, CPUS):
             cmd = [sys.executable, __file__, "--scaling-child",
                    str(cores), str(SCALING_PAGES)]
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=1200,
-                ).stdout.strip().splitlines()
-            n, secs = json.loads(out[-1])
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=1200,
+                    ).stdout.strip().splitlines()
+                n, secs = json.loads(out[-1])
+            except Exception as exc:  # never let a child kill the bench line
+                extras.setdefault("scaling_errors", []).append(
+                    f"cores={cores}: {exc}")
+                continue
             if cores not in stats or secs < stats[cores][1]:
                 stats[cores] = (n, secs)
-        speedup = stats[lo][1] / stats[CPUS][1]
-        extras["scaling"] = {
-            "cores_lo": lo, "cores_hi": CPUS, "n_pages": stats[lo][0],
-            "cpu_pinned": True,
-            "secs_lo": round(stats[lo][1], 3), "secs_hi": round(stats[CPUS][1], 3),
-            "pages_per_sec_lo": round(stats[lo][0] / stats[lo][1], 1),
-            "pages_per_sec_hi": round(stats[CPUS][0] / stats[CPUS][1], 1),
-            "speedup": round(speedup, 3),
-            "efficiency": round(speedup / (CPUS / lo), 3),
-        }
+        if len(stats) == 2:
+            speedup = stats[lo][1] / stats[CPUS][1]
+            extras["scaling"] = {
+                "cores_lo": lo, "cores_hi": CPUS, "n_pages": stats[lo][0],
+                "cpu_pinned": True,
+                "secs_lo": round(stats[lo][1], 3),
+                "secs_hi": round(stats[CPUS][1], 3),
+                "pages_per_sec_lo": round(stats[lo][0] / stats[lo][1], 1),
+                "pages_per_sec_hi": round(stats[CPUS][0] / stats[CPUS][1], 1),
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / (CPUS / lo), 3),
+            }
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
