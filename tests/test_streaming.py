@@ -26,3 +26,30 @@ def test_stream_matches_batch(spark, tmp_path):
         aliases=aliases))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_windowed_mention_counts(spark, tmp_path):
+    """Watermarked event-time aggregate runs and matches a batch count."""
+    from pyspark.sql import functions as F
+
+    from ner_pytorch_spark.streaming.pages_stream import (
+        read_pages_stream, windowed_mention_counts)
+
+    pages = datagen.pages_dataframe(spark, 30)
+    src = str(tmp_path / "in")
+    pages.write.parquet(src)
+    aliases = datagen.alias_rows()
+
+    stream = read_pages_stream(spark, src)
+    # complete mode (memory sink): append would rightly hold back the
+    # final windows still inside the watermark
+    q = (windowed_mention_counts(stream, aliases, window="1 day")
+         .writeStream.format("memory").queryName("wmc")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("select sum(n_mentions) from wmc").first()[0]
+    batch_mentions = mentions_table(tag_sentences(
+        sentences_table(pages), mode="gazetteer", aliases=aliases)).count()
+    assert got == batch_mentions
