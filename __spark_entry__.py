@@ -414,7 +414,9 @@ def q_kg_eval_prf(spark, sf_dir):
             if toks:
                 gold[(p["url"], sid)] = ["O"] * len(toks)
     for m in gold_mentions:
-        tags = gold[(m["url"], m["sent_id"])]
+        tags = gold.get((m["url"], m["sent_id"]))
+        if tags is None:  # datagen emits gold only for lang='en' pages
+            continue
         s, e, tt = m["start"], m["end"], m["tag_type"]
         if e - s == 1:
             tags[s] = f"S-{tt}"

@@ -67,9 +67,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         print(f"{status} {name}: rows {len(sdf)}/{len(ddf)} cols={ok_cols} "
               f"hash={ok_hash}  ({time.time()-t0:.1f}s)")
         if status == "FAIL" and ok_cols and ok_rows:
-            merged = None
             try:
-                key_cols = [c for c in sdf.columns][:2]
                 s2 = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
                 d2 = ddf[sdf.columns.tolist()].sort_values(list(sdf.columns)).reset_index(drop=True)
                 diff = (s2.astype(str) != d2.astype(str)).any(axis=1)
