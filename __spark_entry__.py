@@ -249,10 +249,15 @@ def q_minhash_lsh(spark, sf_dir):
                              n_hashes=8, bands=4, n=2, threshold=0.12)
 
 
-def q_simhash_pairs(spark, sf_dir):  # rows-only (UDF hash)
+def q_simhash_pairs(spark, sf_dir):
+    """Oracle-checked: the md5-based simhash is recomputed bit-for-bit in
+    DuckDB (md5_number_upper = little-endian first 8 digest bytes) and the
+    oracle brute-forces ALL pair Hamming distances — so the query also
+    proves the pigeonhole blocking (max_hamming+1 chunks) is lossless."""
     from ner_pytorch_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_pairs(_read(spark, sf_dir, "documents"), max_hamming=8).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -596,6 +601,33 @@ SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM (
 SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_dups
 FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "ngram_jaccard": _jaccard_sql(2, 0.12),
+        # simhash recomputed exactly: per-token 64-bit hash =
+        # md5_number_upper (little-endian first 8 md5 bytes, = the pandas
+        # UDF's int.from_bytes(md5[:8],'little')), ±1 majority vote per
+        # bit, two's-complement int64; then brute-force ALL pair Hamming
+        # distances (the Spark side must lose none to chunk blocking).
+        "simhash_pairs": f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (md5_number_upper(token) >> CAST(b AS UBIGINT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS votes
+  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+  GROUP BY doc_id, b),
+hashes0 AS (
+  SELECT doc_id, CAST(sum(CASE
+      WHEN votes > 0 AND b = 63 THEN -9223372036854775808
+      WHEN votes > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+hashes AS (
+  SELECT d.doc_id, coalesce(h.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN hashes0 h USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
         "minhash_signatures": f"""
 WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
 sh0 AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]

@@ -210,24 +210,30 @@ def minhash_lsh_pairs(
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token blake2b hashes (numpy-vectorized)."""
+    """64-bit SimHash over md5 token hashes (numpy-vectorized).
+
+    The per-token 64-bit hash is the FIRST 8 md5 digest bytes read
+    little-endian — exactly DuckDB's ``md5_number_upper(token)`` — so
+    the whole simhash is recomputable in SQL and the driver can oracle
+    ``simhash_pairs`` end-to-end. Bit p of the result is the sign of the
+    ±1 majority vote over token-hash bits p; the uint64 is reinterpreted
+    as two's-complement int64 for LongType (XOR/popcount-invariant).
+    """
     import hashlib
 
     import numpy as np
 
     if not tokens:
-        return -(1 << 63)
-    digests = b"".join(
-        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest() for t in tokens)
-    bits = np.unpackbits(np.frombuffer(digests, dtype=np.uint8)
-                         .reshape(len(tokens), 8), axis=1)  # [n, 64] big-endian
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(tokens)  # ±1 majority
-    # bit k of the big-endian bit string is hash bit 63-k; keep the
-    # "int.from_bytes(…,'big') >> bit" convention
+        return 0
+    u = np.frombuffer(
+        b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in tokens),
+        dtype="<u8")                                     # [n] little-endian
+    bits = ((u[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(tokens)           # ±1 majority
     out = 0
-    for k in np.nonzero(votes > 0)[0]:
-        out |= 1 << (63 - int(k))
-    return out - (1 << 63)  # signed for LongType
+    for p in np.nonzero(votes > 0)[0]:
+        out |= 1 << int(p)
+    return out - (1 << 64) if out >= (1 << 63) else out  # two's complement
 
 
 @F.pandas_udf(LongType())
@@ -235,24 +241,41 @@ def simhash_udf(tokens: pd.Series) -> pd.Series:
     return tokens.map(lambda ts: simhash64(list(ts)) if ts is not None else None)
 
 
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_chunks near-equal [lo, width) pieces."""
+    edges = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
+    return [(edges[i], edges[i + 1] - edges[i]) for i in range(n_chunks)]
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. LOSSLESS.
 
-    Pigeonhole blocking: split the 64-bit hash into 4 × 16-bit chunks;
-    any pair within Hamming ≤ 3 agrees exactly on ≥1 chunk → candidate
-    pairs come from a chunk equi-join, verified by popcount.
+    Pigeonhole blocking: the 64-bit hash splits into ``max_hamming + 1``
+    near-equal chunks — a pair within Hamming ≤ max_hamming has at most
+    max_hamming differing bits, so by pigeonhole it agrees EXACTLY on
+    ≥1 chunk → every qualifying pair appears in the chunk equi-join
+    (a fixed chunk count only guarantees recall for Hamming < n_chunks,
+    the round-1 recall bug). Candidates are verified by popcount.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         simhash_udf(_norm_tokens(text_col)).alias("simhash"),
     )
+    def _chunk(lo: int, width: int):
+        c = F.shiftrightunsigned("simhash", lo)
+        if width < 64:  # (1<<64)-1 overflows LongType; width 64 = whole hash
+            c = c.bitwiseAND(F.lit((1 << width) - 1))
+        return c
+
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("chunk_id"),
-                     F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-            for i in range(4)
+            F.struct(F.lit(i).alias("chunk_id"), _chunk(lo, width).alias("chunk"))
+            for i, (lo, width) in enumerate(_chunk_bounds(n_chunks))
         ])).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"),

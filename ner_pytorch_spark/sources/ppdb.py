@@ -58,13 +58,21 @@ def paraphrase_ngram_lookup(
 
     grams = None
     for n in range(max_n, 0, -1):
+        # Guard short sentences: size-n < 0 would make sequence(0, -1)
+        # DESCEND ([0, -1], Spark's default step is -1 when start > stop)
+        # and the transform's slice(tokens, 0, n) then throws
+        # INVALID_PARAMETER_VALUE.START — so sentences with fewer than n
+        # tokens yield an empty gram array instead.
         g = sentences.select(
             "url", "sent_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - n, F.lit(-1))),
-                    lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
-                )).alias("start", "phrase"),
+                F.when(
+                    F.size(tokens_col) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tokens_col) - n),
+                        lambda i: F.array_join(F.slice(tokens_col, i + 1, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))).alias("start", "phrase"),
         ).withColumn("n", F.lit(n)).filter(F.size(F.split("phrase", " ")) == n)
         grams = g if grams is None else grams.unionByName(g)
     hits = grams.join(F.broadcast(ppdb), on="phrase", how="inner")

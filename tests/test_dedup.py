@@ -51,6 +51,71 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 2) in got  # near dup caught by at least one band
 
 
+def test_simhash_blocking_is_lossless(spark):
+    """Pigeonhole recall at max_hamming > 3 (the round-1 bug class).
+
+    Correlated random docs (subsets of a tiny vocab) produce many pairs
+    at Hamming 4-20 whose differing bits span ALL FOUR of the old fixed
+    16-bit chunks — the old blocking silently dropped those. The new
+    (max_hamming+1)-chunk blocking must return exactly the brute-force
+    all-pairs answer.
+    """
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    texts = [" ".join(rng.sample(vocab, rng.randint(8, 20))) for _ in range(80)]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    hashes = {i: simhash64(t.split()) for i, t in enumerate(texts)}
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((hashes[a] ^ hashes[b]) & mask).count("1")
+
+    for max_h in (8, 20):
+        expect = {(a, b): ham(a, b) for a in hashes for b in hashes
+                  if a < b and ham(a, b) <= max_h}
+        got = {(r.doc_a, r.doc_b): r.hamming
+               for r in simhash_pairs(docs, max_hamming=max_h).collect()}
+        assert got == expect, f"max_hamming={max_h}"
+
+    # the adversarial witness: ≥1 pair beyond Hamming 3 shares NONE of
+    # the old fixed 16-bit chunks → the old 4-chunk blocking provably
+    # missed it, the new blocking must not.
+    def old_chunks(h):
+        u = h & mask
+        return [(u >> (16 * i)) & 0xFFFF for i in range(4)]
+
+    witnesses = [
+        (a, b) for a in hashes for b in hashes
+        if a < b and 3 < ham(a, b) <= 20
+        and all(x != y for x, y in zip(old_chunks(hashes[a]), old_chunks(hashes[b])))
+    ]
+    assert witnesses, "test corpus must contain an old-blocking-missed pair"
+    got20 = {(r.doc_a, r.doc_b)
+             for r in simhash_pairs(docs, max_hamming=20).collect()}
+    assert set(witnesses) <= got20
+
+
+def test_simhash_matches_duckdb_oracle(docs):
+    """End-to-end engine parity: the pandas-UDF simhash equals the pure
+    SQL recomputation (md5_number_upper → majority vote → two's
+    complement) that the driver uses as the oracle."""
+    import duckdb
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["simhash_pairs"]
+    expect = {tuple(r) for r in con.execute(sql).fetchall()}
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs(docs, max_hamming=8).collect()}
+    assert got == expect
+
+
 def test_simhash_properties(docs):
     h1 = simhash64(BASE.split())
     h2 = simhash64(BASE.replace("green", "dark").split())

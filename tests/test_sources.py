@@ -78,6 +78,17 @@ def test_ppdb_scan_and_lookup(spark, tmp_path):
     assert by_phrase["tiny home"].n == 2      # bigram beats unigram at its start
     assert by_phrase["big"].paraphrase == "large"
 
+    # regression: sentences SHORTER than max_n used to crash the job
+    # (sequence(0, size-n) descends to [0, -1] when size < n and the
+    # transform evaluates slice(start=0) → SparkRuntimeException); they
+    # must instead contribute only their shorter n-grams.
+    short = spark.createDataFrame(
+        [("u", 1, ["big"]), ("u", 2, [])],
+        "url string, sent_id int, tokens array<string>")
+    short_hits = paraphrase_ngram_lookup(short, edges, max_n=2).collect()
+    assert [(r.sent_id, r.phrase, r.paraphrase) for r in short_hits] == [
+        (1, "big", "large")]
+
 
 def test_multimodal_plumbing(spark):
     from ner_pytorch_spark.operators.multimodal import (extract_features,
