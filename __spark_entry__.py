@@ -279,7 +279,10 @@ def q_embedding_dedup(spark, sf_dir):
     )
 
 
-def q_ann_lsh_topk(spark, sf_dir):  # rows-only (approximate by design)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Oracle-checked: hyperplanes are md5-derived (lsh_planes), so DuckDB
+    recomputes bucket assignment, candidate set, exact-cosine verify and
+    top-k bit-for-bit — the approximation itself is deterministic."""
     from ner_pytorch_spark.operators.similarity import lsh_topk
 
     return lsh_topk(_read(spark, sf_dir, "embeddings"), k=5, n_bits=6, n_tables=3)
@@ -658,6 +661,44 @@ cands AS (
   WHERE a.doc_id < b.doc_id),
 j AS ({_jaccard_sql(2, 0.12)})
 SELECT j.doc_a, j.doc_b, j.jaccard FROM cands JOIN j USING (doc_a, doc_b)""",
+        # full LSH recomputation: plane component (t,j,i) =
+        # md5_number_upper('lsh:42:t:j:i')/2^64*2-1 (= lsh_planes), bucket
+        # = sign-bit pack, candidates = same-(table,bucket) equi-join,
+        # then exact left-fold cosine + top-k — matching lsh_topk's
+        # n_bits=6, n_tables=3, k=5 driver parameters.
+        "ann_lsh_topk": f"""
+WITH idx AS (SELECT unnest(range(1, (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i),
+planes AS (
+  SELECT t, j, i,
+         md5_number_upper(concat('lsh:42:', t, ':', j, ':', i - 1))
+           / 18446744073709551616.0 * 2 - 1 AS val
+  FROM (SELECT unnest(range(0, 3)) AS t)
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS j) CROSS JOIN idx),
+dots AS (
+  SELECT e.vec_id, p.t, p.j, sum(CAST(e.embedding[p.i] AS DOUBLE) * p.val) AS dot
+  FROM embeddings e JOIN planes p ON p.i <= len(e.embedding)
+  GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dot > 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM buckets a JOIN buckets b USING (t, bucket) WHERE a.vec_id <> b.vec_id),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+    round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+     / (sqrt(list_aggregate(list_transform(a.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      * sqrt(list_aggregate(list_transform(b.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cosine
+  FROM cands c JOIN embeddings a ON a.vec_id = c.vec_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5""",
         "cosine_topk": f"""
 WITH pairs AS ({_COSINE_PAIRS})
 SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (

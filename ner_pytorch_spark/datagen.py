@@ -274,13 +274,9 @@ def generate_pages(n_pages: int, seed: int = SEED):
 
 
 def token_vector(token: str, dim: int = EMB_DIM) -> np.ndarray:
-    import hashlib
+    from .functions.embeddings import hash_token_vector
 
-    seed = int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=4).digest(), "little")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim)
-    return (v / np.linalg.norm(v)).astype(np.float32)
+    return hash_token_vector(token, dim)
 
 
 def pooled_embedding(surface: str, mode: str = "mean", dim: int = EMB_DIM) -> np.ndarray:

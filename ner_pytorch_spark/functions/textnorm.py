@@ -57,6 +57,16 @@ def tokenize_ws(col: Column) -> Column:
 # the Column versions above (unit-tested against each other).
 
 _DIGIT = re.compile(r"[0-9]")
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); python str.split()
+# splits on ALL Unicode whitespace (U+00A0, U+2009, …), so the python
+# twin must pin the same ASCII class or the fused and staged pipelines
+# tokenize non-ASCII-whitespace pages differently.
+_WS_ASCII = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def py_tokenize_ws(s: str) -> list[str]:
+    """Python twin of :func:`tokenize_ws` — SAME whitespace contract."""
+    return [t for t in _WS_ASCII.split(s) if t]
 
 
 def py_zero_digits(s: str) -> str:

@@ -288,13 +288,22 @@ def hard_example_topk(scored: DataFrame, k: int = 5) -> DataFrame:
 def unigram_surprisal(
     adv: DataFrame, freqs: DataFrame,
     tokens_col: str = "adv_tokens",
+    max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """Deterministic fluency proxy: mean −log p(token) under corpus
     unigram frequencies (broadcast). Stands in for the reference's
     GPT-2 perplexity (perplexity_est.py:27-67) — same monotone shape
-    (lower = more fluent), no LM dependency."""
+    (lower = more fluent), no LM dependency.
+
+    The broadcast LUT is BOUNDED at the ``max_vocab`` most frequent
+    tokens (a web-scale unigram vocabulary exceeds driver memory);
+    tail tokens fall through to the same freq-0 smoothing unseen tokens
+    already get, so scores are identical whenever the corpus vocabulary
+    fits the cap and shift by at most log-of-cutoff-frequency beyond it.
+    """
     total = freqs.agg(F.sum("freq")).first()[0]
-    lut = {r["token"]: r["freq"] for r in freqs.collect()}
+    top = freqs.orderBy(F.desc("freq"), "token").limit(max_vocab).collect()
+    lut = {r["token"]: r["freq"] for r in top}
     spark = adv.sparkSession
     bc = spark.sparkContext.broadcast((lut, float(total)))
 
@@ -361,24 +370,44 @@ def singleton_dropout(
     singletons → <UNK> with probability p; seeded, so reproducible.
 
     ``singletons``: (token) one-column DataFrame (freq == 1 words).
+
+    Membership is resolved RELATIONALLY — posexplode tokens, semi-join
+    the singleton table, collect the matching positions back per
+    sentence — instead of collecting the whole singleton set to the
+    driver (freq-1 words are ~half a web-scale vocabulary; the round-1
+    driver collect was unbounded). The UDF then draws one rng sample per
+    matched position in ascending order, the exact draw sequence of the
+    original per-token loop → outputs are bit-identical.
     """
-    st = {r["token"] for r in singletons.collect()}
-    bc = df.sparkSession.sparkContext.broadcast(st)
+    key = ["url", "sent_id"]
+    pos = (
+        df.select(*key, F.posexplode(tokens_col).alias("_pos", "token"))
+        .join(singletons.select("token"), on="token", how="left_semi")
+        .groupBy(*key)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_sing_pos"))
+    )
 
     @F.pandas_udf(ArrayType(StringType()))
-    def drop(tokens: pd.Series, key: pd.Series) -> pd.Series:
-        s = bc.value
+    def drop(tokens: pd.Series, hkey: pd.Series, positions: pd.Series) -> pd.Series:
         out = []
-        for ts, k in zip(tokens, key):
+        for ts, k, ps in zip(tokens, hkey, positions):
             if ts is None:
                 out.append(None)
                 continue
-            rng = np.random.default_rng([seed, int(k) % (2**31)])
-            out.append([
-                unk if (t in s and rng.random() < p) else t for t in ts])
+            ts = list(ts)
+            if ps is not None and len(ps):
+                rng = np.random.default_rng([seed, int(k) % (2**31)])
+                for i in ps:
+                    if rng.random() < p:
+                        ts[i] = unk
+            out.append(ts)
         return pd.Series(out)
 
-    return df.withColumn(
-        tokens_col,
-        drop(F.col(tokens_col),
-             F.xxhash64(F.col("url"), F.col("sent_id"))))
+    return (
+        df.join(pos, on=key, how="left")
+        .withColumn(tokens_col,
+                    drop(F.col(tokens_col),
+                         F.xxhash64(*[F.col(c) for c in key]),
+                         F.col("_sing_pos")))
+        .drop("_sing_pos")
+    )

@@ -241,6 +241,11 @@ class TaggerWeights:
             cap_emb=z.get("cap_emb"),
             lstm_fw=triple("lstm_fw"), lstm_bw=triple("lstm_bw"),
             proj_w=z["proj_w"], proj_b=z["proj_b"], transitions=z["transitions"],
+            # checkpoint-loaded weights are TRAINED: decode must use the
+            # learned transitions alone (the reference decodes with
+            # learned transitions only, /root/reference/crf.py:91-135) —
+            # the tagger reads this to default the grammar prior OFF
+            meta={"trained": True},
         )
 
 

@@ -110,9 +110,16 @@ def broadcast_topk(
             out = {"vec_id": [], "neighbor_id": [], "cosine": [], "rank": []}
             for row in range(scores.shape[0]):
                 qid = int(pdf[id_col].iloc[row])
-                s = scores[row]
+                # rank by the ROUNDED score (the oracle's comparison key)
+                # and widen the cut to every candidate tied with the
+                # k-th — raw-float argpartition resolved exact ties
+                # arbitrarily and could diverge from the (score desc,
+                # id asc) oracle order on tie-heavy data.
+                s = np.round(scores[row], 6)
                 kk = min(k + 1, len(ids_))
-                top = np.argpartition(-s, kk - 1)[:kk]
+                part = np.argpartition(-s, kk - 1)[:kk]
+                cut = s[part].min()
+                top = np.flatnonzero(s >= cut)
                 top = top[np.lexsort((ids_[top], -s[top]))]
                 rank = 0
                 for ci in top:
@@ -122,7 +129,7 @@ def broadcast_topk(
                         break
                     out["vec_id"].append(qid)
                     out["neighbor_id"].append(int(ids_[ci]))
-                    out["cosine"].append(round(float(s[ci]), 6))
+                    out["cosine"].append(float(s[ci]))
                     out["rank"].append(rank + 1)
                     rank += 1
             yield pd.DataFrame(out)
@@ -130,20 +137,28 @@ def broadcast_topk(
     return queries.select(id_col, emb_col).mapInPandas(run, _TOPK_SCHEMA)
 
 
-def lsh_bucket(emb_col, planes: np.ndarray):
-    """Sign-bit bucket id of an embedding under fixed hyperplanes.
+def lsh_planes(seed: int, n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic md5-derived hyperplanes [n_tables, n_bits, dim].
 
-    planes: [n_bits, dim] seeded matrix; returns an int column
-    Σ (dot(emb, plane_i) > 0) << i — computed JVM-side via aggregate.
+    Component (t, j, i) = md5_number("lsh:<seed>:<t>:<j>:<i>") mapped to
+    [-1, 1) — the same value DuckDB computes with ``md5_number_upper``
+    (little-endian first 8 digest bytes), so bucket assignment is
+    recomputable in pure SQL and the operator is oracle-checkable.
+    Derived on each executor from (seed, shape): nothing ships in the
+    plan (the round-1 version inlined dim×bits×tables literal arrays —
+    ~49k plan literals at BERT dims — and blew up the analyzer).
     """
-    bits = []
-    for i, plane in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(F.when(_dot(emb_col, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    import hashlib
+
+    vals = np.empty((n_tables, n_bits, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for j in range(n_bits):
+            for i in range(dim):
+                u = int.from_bytes(
+                    hashlib.md5(f"lsh:{seed}:{t}:{j}:{i}".encode()).digest()[:8],
+                    "little")
+                vals[t, j, i] = u / 2.0**64 * 2 - 1
+    return vals
 
 
 def lsh_topk(
@@ -154,25 +169,48 @@ def lsh_topk(
     """Approximate cosine top-k: random-hyperplane LSH blocking.
 
     Each of ``n_tables`` independent hash tables buckets vectors by
-    ``n_bits`` sign bits; only same-bucket pairs are scored. Shuffle is
-    an equi-join on (table, bucket) — linear in Σ bucket². Recall rises
-    with n_tables. Output schema matches :func:`cosine_topk` (rank may
-    have gaps filled differently — rank is within retrieved set).
+    ``n_bits`` sign bits; only same-bucket pairs are scored. Bucketing is
+    ONE Arrow-batched matmul per batch (planes rebuilt per executor from
+    the seed — no plan literals, no driver collect); candidate scoring is
+    JVM-side ``aggregate`` cosine (left-fold → engine-agnostic hashing).
+    Shuffle is an equi-join on (table, bucket) — linear in Σ bucket².
+    Recall rises with n_tables. Output schema matches :func:`cosine_topk`
+    (rank is within the retrieved set).
     """
-    if dim is None:
-        dim = len(embeddings.select(emb_col).first()[0])
-    rng = np.random.default_rng(seed)
-    tables = []
-    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"))
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_bits, dim))
-        tables.append(base.select(
-            "vec_id", "emb",
-            F.lit(t).alias("table"),
-            lsh_bucket(F.col("emb"), planes).alias("bucket")))
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    from pyspark.sql.types import ArrayType
+
+    in_schema = {f.name: f.dataType for f in embeddings.schema.fields}
+    bucket_schema = StructType([
+        StructField("vec_id", in_schema[id_col]),
+        StructField("emb", in_schema[emb_col]),
+        StructField("buckets", ArrayType(LongType())),
+    ])
+    shape = (seed, n_tables, n_bits)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_flat = None  # [n_tables*n_bits, dim], built on first batch
+        weights = (1 << np.arange(n_bits, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf[emb_col]), dtype=np.float64)
+            if planes_flat is None:
+                d = dim or q.shape[1]
+                planes_flat = lsh_planes(*shape, d).reshape(-1, d)
+            bits = (q @ planes_flat.T) > 0            # [B, n_tables*n_bits]
+            bkts = bits.reshape(len(pdf), n_tables, n_bits) @ weights
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col],
+                "emb": pdf[emb_col],
+                "buckets": list(bkts),
+            })
+
+    bucketed = (
+        embeddings.select(id_col, emb_col)
+        .mapInPandas(bucketize, bucket_schema)
+        .select("vec_id", "emb",
+                F.posexplode("buckets").alias("table", "bucket"))
+    )
     a = bucketed.select("table", "bucket", F.col("vec_id").alias("vec_id"),
                         F.col("emb").alias("emb_a"))
     b = bucketed.select("table", "bucket", F.col("vec_id").alias("neighbor_id"),

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
-from ..functions.textnorm import py_cap_feature, py_zero_digits, tokenize_ws
+from ..functions.textnorm import (py_cap_feature, py_tokenize_ws,
+                                  py_zero_digits, tokenize_ws)
 from .crf import viterbi_decode
 from .encoder import TaggerWeights, neural_emissions
 from .tagset import ENTITY_TYPES, grammar_transitions, iobes_tags
@@ -137,6 +138,19 @@ _TAGGED_SCHEMA = StructType([
 ])
 
 
+def _decode_transitions(weights: TaggerWeights, grammar_prior: bool | None,
+                        prior: np.ndarray) -> np.ndarray:
+    """Neural-mode decode transitions. The IOBES grammar prior keeps
+    decodes valid under UNTRAINED (random) transition weights, but a
+    genuinely trained CRF must decode with its learned transitions ALONE
+    (/root/reference/crf.py:91-135) — so ``grammar_prior=None`` defaults
+    to on for random-init weights and OFF for checkpoint-loaded ones
+    (``meta['trained']``, set by ``TaggerWeights.from_npz``)."""
+    if grammar_prior is None:
+        grammar_prior = not weights.meta.get("trained", False)
+    return weights.transitions + prior if grammar_prior else weights.transitions
+
+
 def tag_sentences(
     sentences: DataFrame,
     mode: str = "gazetteer",
@@ -145,6 +159,7 @@ def tag_sentences(
     char_vocab: dict | None = None,
     aliases: list[dict] | None = None,
     entity_types: tuple[str, ...] = ENTITY_TYPES,
+    grammar_prior: bool | None = None,
 ) -> DataFrame:
     """Batched mention detection: ONE mapInPandas stage over Arrow batches.
 
@@ -197,7 +212,9 @@ def tag_sentences(
         unk_id = vocab.get("<UNK>", 0)
         bc = sc.broadcast({
             "weights": weights, "vocab": vocab, "chars": char_vocab,
-            "unk": unk_id, "tags": tags, "transitions": transitions,
+            "unk": unk_id, "tags": tags,
+            "decode_trans": _decode_transitions(weights, grammar_prior,
+                                                transitions),
         })
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -214,9 +231,7 @@ def tag_sentences(
                 char_ids = [f[1] for f in feats]
                 caps = [f[2] for f in feats]
                 em, lengths = neural_emissions(w, word_ids, char_ids, caps)
-                # grammar prior keeps decodes IOBES-valid even with
-                # untrained transition weights
-                paths = viterbi_decode(em, lengths, w.transitions + v["transitions"])
+                paths = viterbi_decode(em, lengths, v["decode_trans"])
                 pred = [[tlist[i] for i in p] for p in paths]
                 yield pd.DataFrame({
                     "url": pdf["url"], "sent_id": pdf["sent_id"],
@@ -261,6 +276,7 @@ def pages_to_mention_pairs(
     weights: TaggerWeights | None = None,
     vocab: dict | None = None,
     char_vocab: dict | None = None,
+    grammar_prior: bool | None = None,
 ) -> DataFrame:
     """The 100 TB inference hot path: ONE Arrow crossing from pages.
 
@@ -291,8 +307,11 @@ def pages_to_mention_pairs(
     elif mode == "neural":
         if weights is None or vocab is None or char_vocab is None:
             raise ValueError("neural mode needs weights + vocabs")
-        payload.update(weights=weights, vocab=vocab, chars=char_vocab,
-                       unk=vocab.get("<UNK>", 0))
+        payload.update(
+            weights=weights, vocab=vocab, chars=char_vocab,
+            unk=vocab.get("<UNK>", 0),
+            decode_trans=_decode_transitions(
+                weights, grammar_prior, payload["transitions"]))
     else:
         raise ValueError(f"unknown mode {mode!r}")
     bc = spark.sparkContext.broadcast(payload)
@@ -305,7 +324,11 @@ def pages_to_mention_pairs(
             urls, sids, tok_lists = [], [], []
             for url, text in zip(pdf["url"], pdf["text"]):
                 for sent_id, line in enumerate(text.split("\n")):
-                    toks = line.split()
+                    # py_tokenize_ws, NOT str.split(): the staged path
+                    # tokenizes with JVM \s+ (ASCII-only) and the fused
+                    # path must share that contract on non-ASCII
+                    # whitespace (U+00A0 etc.)
+                    toks = py_tokenize_ws(line)
                     if toks:
                         urls.append(url)
                         sids.append(sent_id)
@@ -329,7 +352,7 @@ def pages_to_mention_pairs(
                 em, lengths = neural_emissions(
                     w, [f[0] for f in feats], [f[1] for f in feats],
                     [f[2] for f in feats])
-                decode_trans = w.transitions + trans  # grammar prior
+                decode_trans = v["decode_trans"]
             paths = viterbi_decode(em, lengths, decode_trans)
             out = {k: [] for k in ("url", "sent_id", "kind", "a", "b", "c",
                                    "type_a", "type_b", "surf_a", "surf_b",

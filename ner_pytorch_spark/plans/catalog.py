@@ -1,17 +1,20 @@
 """Snapshot-versioned table store: Iceberg when available, parquet else.
 
 The north rule wants Iceberg tables with checkpoint-resume per snapshot.
-This sandbox ships no Iceberg runtime jars, so the catalog abstracts the
-two backends behind one interface:
+The catalog abstracts the two backends behind one interface:
 
-* **iceberg** — if ``spark.sql.catalog.*`` configs are present (real
-  cluster), tables go through ``writeTo(...)`` and snapshots are Iceberg
-  snapshots (incremental reads between snapshot ids).
+* **iceberg** — tables go through ``writeTo(...)`` against a configured
+  ``spark.sql.catalog.<name>`` (Iceberg runtime jars on the classpath,
+  i.e. a real cluster); a commit is an Iceberg REPLACE/CREATE snapshot,
+  ``read(snapshot=...)`` is a snapshot-id time-travel read, and
+  ``latest_snapshot`` queries the table's ``.snapshots`` metadata.
 * **parquet** — snapshot = an immutable directory
   ``<root>/<table>/snap-<n>/`` plus a ``_latest`` pointer file; commit
   is write-new-dir-then-atomically-replace-pointer, which gives the
   same resume semantics (a killed job never corrupts the last published
-  snapshot; re-running re-publishes idempotently).
+  snapshot; re-running re-publishes idempotently). This sandbox ships
+  no Iceberg jars, so tests drive the iceberg branch through the API
+  seam (recorded writer calls) and the parquet branch for real.
 
 Resumability contract (tested): resume-from-snapshot output ==
 single-run output, byte-identical.
@@ -26,21 +29,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotCatalog:
-    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
-        # Iceberg is opt-in: the parquet backend is the default
-        # everywhere the Iceberg runtime jars aren't on the classpath
-        # (this sandbox included); on a real cluster pass
-        # use_iceberg=True alongside the spark.sql.catalog.* configs and
-        # commit/read route through writeTo()/read.table() instead.
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False,
+                 catalog_name: str = "local", namespace: str = "kg"):
         self.spark = spark
         self.root = root
         self.use_iceberg = use_iceberg
+        self.catalog_name = catalog_name
+        self.namespace = namespace
         if use_iceberg:
-            raise NotImplementedError(
-                "Iceberg backend requires runtime jars absent from this "
-                "environment; the parquet snapshot backend is the seam "
-                "where writeTo() plugs in")
-        os.makedirs(root, exist_ok=True)
+            # fail fast on a missing catalog config — a writeTo() against
+            # an unconfigured catalog only errors at first commit
+            try:
+                conf = spark.conf.get(f"spark.sql.catalog.{catalog_name}", None)
+            except Exception:
+                conf = None
+            if not conf:
+                raise RuntimeError(
+                    f"use_iceberg=True needs spark.sql.catalog.{catalog_name} "
+                    "configured (Iceberg runtime jars + catalog impl); "
+                    "omit it for the parquet snapshot backend")
+        else:
+            os.makedirs(root, exist_ok=True)
 
     # ----------------------------------------------------------- paths
     def _table_dir(self, table: str) -> str:
@@ -49,7 +58,18 @@ class SnapshotCatalog:
     def _pointer(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "_latest")
 
+    def _ident(self, table: str) -> str:
+        """Fully-qualified Iceberg identifier for ``table``."""
+        return f"{self.catalog_name}.{self.namespace}.{table}"
+
     def latest_snapshot(self, table: str) -> int | None:
+        if self.use_iceberg:
+            if not self.exists(table):
+                return None
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._ident(table)}.snapshots "
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1").first()
+            return None if row is None else int(row[0])
         p = self._pointer(table)
         if not os.path.exists(p):
             return None
@@ -61,11 +81,27 @@ class SnapshotCatalog:
 
     # ------------------------------------------------------------- api
     def exists(self, table: str) -> bool:
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._ident(table))
         return self.latest_snapshot(table) is not None
 
     def commit(self, table: str, df: DataFrame,
                partition_by: list[str] | None = None) -> int:
-        """Write a new immutable snapshot, then atomically publish it."""
+        """Write a new immutable snapshot, then atomically publish it.
+
+        Iceberg: ``createOrReplace`` — one atomic REPLACE (or CREATE)
+        snapshot; the returned id is the table's new current snapshot.
+        Parquet: write a fresh ``snap-<n>`` dir, then atomically swap the
+        ``_latest`` pointer.
+        """
+        if self.use_iceberg:
+            writer = df.writeTo(self._ident(table)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+            return self.latest_snapshot(table)
         prev = self.latest_snapshot(table)
         snap = 0 if prev is None else prev + 1
         path = self.snapshot_path(table, snap)
@@ -81,13 +117,27 @@ class SnapshotCatalog:
         return snap
 
     def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+        if self.use_iceberg:
+            reader = self.spark.read
+            if snapshot is not None:
+                reader = reader.option("snapshot-id", snapshot)
+            return reader.table(self._ident(table))
         snap = self.latest_snapshot(table) if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"no snapshot for table {table!r}")
         return self.spark.read.parquet(self.snapshot_path(table, snap))
 
     def append_rows(self, table: str, df: DataFrame) -> int:
-        """Append = union with latest snapshot → new snapshot."""
+        """Append = new snapshot containing old ∪ new rows.
+
+        Iceberg appends natively (one APPEND snapshot); the parquet
+        backend unions with the latest snapshot and re-commits.
+        """
+        if self.use_iceberg:
+            if self.exists(table):
+                df.writeTo(self._ident(table)).append()
+                return self.latest_snapshot(table)
+            return self.commit(table, df)
         if self.exists(table):
             df = self.read(table).unionByName(df)
         return self.commit(table, df)

@@ -34,7 +34,8 @@ from ..datagen import PREDICATE_LEXICON
 from ..operators.cc import connected_components
 from ..operators.linking import candidate_links, link_mentions
 from ..operators.spans import mentions_table
-from ..operators.tagger import sentences_table, tag_sentences
+from ..operators.tagger import (repartition_by_length, sentences_table,
+                                tag_sentences)
 from ..operators.triples import canonical_triples, sentence_local_triples
 from .catalog import SnapshotCatalog
 
@@ -115,10 +116,16 @@ class KGPipeline:
         sents = self._stage(
             "sentences", resume,
             lambda: sentences_table(salted_repartition(pages, salt=self.salt)))
+        # neural inference pays per-batch padding to the longest sentence;
+        # range-partition + sort by token count first (O1) so Arrow
+        # batches hold similar lengths — purely physical, row-keyed
+        # outputs are order-independent
+        tag_in = (repartition_by_length(sents) if self.mode == "neural"
+                  else sents)
         tagged = self._stage(
             "tagged", resume,
             lambda: tag_sentences(
-                sents, mode=self.mode, weights=self.weights, vocab=self.vocab,
+                tag_in, mode=self.mode, weights=self.weights, vocab=self.vocab,
                 char_vocab=self.char_vocab, aliases=self.aliases))
         mentions = self._stage(
             "mentions", resume, lambda: mentions_table(tagged))

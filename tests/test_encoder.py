@@ -110,6 +110,57 @@ def test_weights_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(em1, em2)
 
 
+def test_checkpoint_decode_parity(spark, tmp_path):
+    """Checkpoint-loaded weights decode with LEARNED transitions only
+    (reference crf.py:91-135); the IOBES grammar prior defaults on only
+    for random-init weights and is explicitly overridable either way."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.crf import viterbi_decode
+    from ner_pytorch_spark.operators.tagger import (featurize_sentence,
+                                                    sentences_table,
+                                                    tag_sentences)
+    from ner_pytorch_spark.operators.tagset import grammar_transitions
+
+    pages = datagen.pages_dataframe(spark, 8)
+    sents = sentences_table(pages)
+    tags = iobes_tags()
+    w = TaggerWeights.random_init(
+        vocab_size=101, char_vocab_size=40, num_tags=len(tags), seed=11)
+    p = str(tmp_path / "ckpt.npz")
+    w.to_npz(p)
+    loaded = TaggerWeights.from_npz(p)
+    assert loaded.meta.get("trained") is True
+    vocab = {f"w{i}": i for i in range(100)}
+    vocab["<UNK>"] = 100
+    chars = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz .,0'-ABCDE")}
+
+    def decode_df(df):
+        return {(r.url, r.sent_id): tuple(r.pred_tags) for r in df.collect()}
+
+    got = decode_df(tag_sentences(sents, mode="neural", weights=loaded,
+                                  vocab=vocab, char_vocab=chars))
+    # driver-side expected decode: learned transitions ALONE
+    expect = {}
+    for r in sents.collect():
+        wi, ci, caps = featurize_sentence(list(r.tokens), vocab, chars, 100)
+        em, lens = neural_emissions(loaded, [wi], [ci], [caps])
+        path = viterbi_decode(em, lens, loaded.transitions)[0]
+        expect[(r.url, r.sent_id)] = tuple(tags[i] for i in path)
+    assert got == expect
+
+    # prior forced ON for loaded weights == default decode of the
+    # UNTRAINED original (which adds the prior)
+    got_prior = decode_df(tag_sentences(sents, mode="neural", weights=loaded,
+                                        vocab=vocab, char_vocab=chars,
+                                        grammar_prior=True))
+    got_untrained = decode_df(tag_sentences(sents, mode="neural", weights=w,
+                                            vocab=vocab, char_vocab=chars))
+    assert got_prior == got_untrained
+    # and the prior genuinely changes SOME decode on random weights
+    # (otherwise this test is vacuous)
+    assert got != got_prior
+
+
 def test_char_lstm_mode_spark_e2e(spark):
     """M3: char-BiLSTM mode through the Spark tagger (CNN is default)."""
     from ner_pytorch_spark import datagen

@@ -29,6 +29,26 @@ def test_fused_mentions_match_staged(spark, corpus):
     assert a == b
 
 
+def test_fused_matches_staged_on_unicode_whitespace(spark):
+    """One tokenization contract: JVM \\s+ is ASCII-only, so the fused
+    python path must NOT split on U+00A0/U+2009 (str.split() would) —
+    'spark\\u00a0flink' is ONE token on both paths."""
+    aliases = datagen.alias_rows()
+    pages = spark.createDataFrame(
+        [("https://ex.org/a", None, bytearray(b""),
+          "Acme Corp acquired Initech .\nspark flink trino duckdb .",
+          "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=aliases)
+    fused = pages_to_mention_pairs(pages, aliases)
+    a = sorted(map(tuple, mentions_table(tagged).collect()))
+    b = sorted(map(tuple, fused_mentions(fused).collect()))
+    assert a == b
+    toks = tagged.filter("sent_id = 1").select("tokens").first()[0]
+    assert toks == ["spark flink", "trino duckdb", "."]
+
+
 def test_fused_triples_match_staged(spark, corpus):
     _, _, tagged, fused = corpus
     lex = datagen.PREDICATE_LEXICON

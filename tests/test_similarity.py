@@ -83,6 +83,68 @@ def test_farthest_and_dropself(spark):
     assert far[0].candidate_surface != "Paris"
 
 
+def test_linking_with_real_vectors(spark, tmp_path):
+    """The embedder seam: candidate generation in a REAL vector space
+    assembled from the GloVe scan (train.py:122-134 semantics), not the
+    hash-vector test fallback — semantically-near surfaces outrank
+    unrelated ones even without an exact surface match."""
+    from ner_pytorch_spark.functions.embeddings import MatrixEmbedder
+    from ner_pytorch_spark.operators.linking import candidate_links
+    from ner_pytorch_spark.operators.vocab import build_vocab
+    from ner_pytorch_spark.sources.glove import embedding_matrix_rows, load_glove
+
+    # tiny 4-d "GloVe" fixture: kitty ≈ cat ≈ tiger ⟂ paris ≈ london
+    p = tmp_path / "vecs.txt"
+    p.write_text(
+        "cat 1.0 0.1 0.0 0.0\n"
+        "tiger 0.9 0.2 0.0 0.1\n"
+        "kitty 0.95 0.12 0.02 0.0\n"
+        "paris 0.0 0.0 1.0 0.1\n"
+        "london 0.1 0.0 0.9 0.2\n")
+    glove = load_glove(spark, str(p), dim=4)
+    toks = spark.createDataFrame(
+        [(["cat", "tiger", "kitty", "paris", "london"],)], "tokens array<string>")
+    vocab = build_vocab(toks, min_count=1)
+    emb = MatrixEmbedder.from_tables(vocab, embedding_matrix_rows(vocab, glove),
+                                     dim=4)
+    aliases = [
+        {"tag_type": "ANIMAL", "surface": "cat", "canonical_id": 1},
+        {"tag_type": "ANIMAL", "surface": "tiger", "canonical_id": 2},
+        {"tag_type": "ANIMAL", "surface": "paris", "canonical_id": 3},
+    ]
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, "kitty", "ANIMAL")],
+        "url string, sent_id int, mention_id int, surface string, tag_type string")
+    got = candidate_links(mentions, aliases, k=3, embedder=emb).collect()
+    ranked = [r.candidate_surface for r in sorted(got, key=lambda r: r.rank)]
+    # 'kitty' has NO exact alias — real geometry must rank cat > tiger > paris
+    assert ranked == ["cat", "tiger", "paris"]
+    assert got[0].score > 0.95  # real cosine, not hash noise
+
+
+def test_dropself_with_ambiguous_surface(spark):
+    """A surface mapped to SEVERAL canonical ids must not starve the
+    retrieval below k when drop_self skips every self-hit (the round-1
+    kk = k+1 reservation assumed one)."""
+    from ner_pytorch_spark.operators.linking import candidate_links
+
+    aliases = (
+        [{"tag_type": "ORG", "surface": "acme", "canonical_id": i}
+         for i in range(3)]  # one ambiguous surface, three entities
+        + [{"tag_type": "ORG", "surface": s, "canonical_id": 10 + j}
+           for j, s in enumerate(["initech", "globex", "hooli"])]
+    )
+    from ner_pytorch_spark.functions.embeddings import HashEmbedder
+
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, "acme", "ORG")],
+        "url string, sent_id int, mention_id int, surface string, tag_type string")
+    got = candidate_links(mentions, aliases, k=3, drop_self=True,
+                          embedder=HashEmbedder(32)).collect()
+    assert len(got) == 3  # full k despite 3 skipped self-hits
+    assert all(r.candidate_surface != "acme" for r in got)
+
+
 def test_contextual_linking(spark):
     """Context pooling shifts scores but exact-surface top-1 still wins;
     context genuinely contributes to the query vector."""
