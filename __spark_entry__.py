@@ -356,6 +356,24 @@ def q_kg_triples(spark, sf_dir):
     return extract_triples(mentions, tagged, datagen.PREDICATE_LEXICON)
 
 
+def q_kg_triples_arc(spark, sf_dir):
+    """C6 verb-arc layer over the extended corpus (rows-only: gazetteer
+    tagging + span scan are UDF-side): predicates that are NOT the exact
+    between-phrase are recovered by nearest-mention verb arcs; golden
+    P/R = 1.0 asserted in tests/test_golden_triples.py."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import extract_triples
+
+    pages = datagen.pages_dataframe(spark, 500, arc_frac=0.6)
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=datagen.alias_rows())
+    mentions = mentions_table(tagged)
+    return extract_triples(mentions, tagged, datagen.PREDICATE_LEXICON,
+                           verb_lexicon=datagen.VERB_ARC_LEXICON)
+
+
 def q_kg_entity_links(spark, sf_dir):
     from ner_pytorch_spark import datagen
     from ner_pytorch_spark.operators.linking import candidate_links, link_mentions
@@ -471,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_components": q_doc_components,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
+        "kg_triples_arc": q_kg_triples_arc,
         "kg_entity_links": q_kg_entity_links,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_entity_nodes": q_kg_entity_nodes,

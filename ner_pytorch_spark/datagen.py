@@ -123,6 +123,31 @@ RELATION_TEMPLATES = [
 
 PREDICATE_LEXICON = {" ".join(t[2]): t[0] for t in RELATION_TEMPLATES}
 
+# Arc-shaped relation templates: the predicate VERB is surrounded by
+# filler (pre/mid/post), so the exact between-phrase never matches the
+# pattern lexicon — only the verb-arc layer (triples.verb_arc_triples,
+# nearest-preceding-subject / nearest-following-object) recovers these.
+# Shape: (pred, subj_type, pre, mid, verb, post, obj_type, tail).
+ARC_TEMPLATES = [
+    ("acquired", "ORG", (), ("reportedly",), "acquired",
+     ("rival",), "ORG", ("in", "March", ".")),
+    ("visited", "PER", ("Earlier", "this", "month", ","), (), "visited",
+     ("the", "city", "of"), "LOC", (".",)),
+    ("met", "PER", (), ("briefly",), "met",
+     ("with",), "PER", ("at", "the", "summit", ".")),
+    ("works_for", "PER", (), ("has", "now"), "joined",
+     (), "ORG", ("as", "director", ".")),
+    ("won", "PER", ("Against", "all", "odds", ","), (), "won",
+     ("a", "hard-fought"), "MISC", (".",)),
+    ("hosted", "LOC", (), ("proudly",), "hosted",
+     ("this", "season", "'s"), "MISC", (".",)),
+]
+
+# verb token → predicate, for the arc layer; covers BOTH the arc
+# templates' verbs and the plain templates' (arcs over already
+# pattern-matched pairs are dropped by the left_anti layering).
+VERB_ARC_LEXICON = {t[4]: t[0] for t in ARC_TEMPLATES}
+
 _FILLER = [
     "The quarterly report was published on time .",
     "Markets closed higher after 3 days of losses .",
@@ -178,6 +203,34 @@ def _sentence_from_template(rng: np.random.Generator, ents_by_type):
     return tokens, mentions, (subj.canonical_id, pred, obj.canonical_id)
 
 
+def _sentence_from_arc_template(rng: np.random.Generator, ents_by_type):
+    """Arc relation sentence → (tokens, mentions, triple); the predicate
+    verb is NOT the exact between-phrase (filler on both sides)."""
+    pred, st, pre, mid, verb, post, ot, tail = ARC_TEMPLATES[
+        int(rng.integers(0, len(ARC_TEMPLATES)))]
+    subj = _pick(rng, ents_by_type[st])
+    obj = _pick(rng, ents_by_type[ot])
+    while obj.canonical_id == subj.canonical_id:
+        obj = _pick(rng, ents_by_type[ot])
+    subj_surface = _pick(rng, subj.surfaces)
+    obj_surface = _pick(rng, obj.surfaces)
+    tokens: list[str] = list(pre)
+    mentions = []
+    s_tok = subj_surface.split(" ")
+    mentions.append((len(tokens), len(tokens) + len(s_tok),
+                     subj.tag_type, subj_surface))
+    tokens += s_tok
+    tokens += list(mid)
+    tokens.append(verb)
+    tokens += list(post)
+    o_start = len(tokens)
+    o_tok = obj_surface.split(" ")
+    mentions.append((o_start, o_start + len(o_tok), obj.tag_type, obj_surface))
+    tokens += o_tok
+    tokens += list(tail)
+    return tokens, mentions, (subj.canonical_id, pred, obj.canonical_id)
+
+
 def _ents_by_type() -> dict[str, list[Entity]]:
     out: dict[str, list[Entity]] = {}
     for e in gazetteer():
@@ -185,9 +238,15 @@ def _ents_by_type() -> dict[str, list[Entity]]:
     return out
 
 
-def generate_page(i: int, seed: int = SEED, ents_by_type=None, dom_w=None):
+def generate_page(i: int, seed: int = SEED, ents_by_type=None, dom_w=None,
+                  arc_frac: float = 0.0):
     """Generate page ``i`` independently (per-page rng seeded by
     (seed, i)) → (page dict, gold_mentions, gold_triples).
+
+    ``arc_frac`` > 0 replaces that fraction of would-be filler sentences
+    with ARC_TEMPLATES relation sentences (predicate verb NOT the exact
+    between-phrase). The default 0.0 draws NOTHING extra from the rng,
+    so existing corpora stay byte-identical.
 
     Per-page determinism is what lets the corpus synthesize ON THE
     EXECUTORS — at bench/scale the pages table is produced by a
@@ -218,8 +277,13 @@ def generate_page(i: int, seed: int = SEED, ents_by_type=None, dom_w=None):
             body_lines.append(_pick(rng, _FILLER_DE))
             sent_id += 1
             continue
+        tokens = mentions = triple = None
         if rng.random() < 0.6:
             tokens, mentions, triple = _sentence_from_template(rng, ents_by_type)
+        elif arc_frac and rng.random() < arc_frac:
+            tokens, mentions, triple = _sentence_from_arc_template(
+                rng, ents_by_type)
+        if tokens is not None:
             body_lines.append(" ".join(tokens))
             for (s, e, tt, surf) in mentions:
                 gold_mentions.append(
@@ -247,7 +311,7 @@ def generate_page(i: int, seed: int = SEED, ents_by_type=None, dom_w=None):
     return page, gold_mentions, gold_triples
 
 
-def generate_pages(n_pages: int, seed: int = SEED):
+def generate_pages(n_pages: int, seed: int = SEED, arc_frac: float = 0.0):
     """Driver-side corpus + gold rows. Deterministic in (n_pages, seed).
 
     Returns (pages, gold_mentions, gold_triples):
@@ -260,7 +324,7 @@ def generate_pages(n_pages: int, seed: int = SEED):
     dom_w = _zipf_weights(len(_DOMAINS))
     pages, gold_mentions, gold_triples = [], [], []
     for i in range(n_pages):
-        p, gm, gt = generate_page(i, seed, ents, dom_w)
+        p, gm, gt = generate_page(i, seed, ents, dom_w, arc_frac)
         pages.append(p)
         gold_mentions.extend(gm)
         gold_triples.extend(gt)
@@ -313,7 +377,8 @@ PAGES_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
 
 
 def pages_dataframe(spark, n_pages: int, seed: int = SEED,
-                    partitions: int | None = None, distributed: bool = False):
+                    partitions: int | None = None, distributed: bool = False,
+                    arc_frac: float = 0.0):
     """Materialize the synthetic pages corpus as a Spark DataFrame.
 
     ``distributed=True`` synthesizes pages ON THE EXECUTORS
@@ -342,7 +407,7 @@ def pages_dataframe(spark, n_pages: int, seed: int = SEED,
             ents = _ents_by_type()
             dom_w = _zipf_weights(len(_DOMAINS))
             for pdf in batches:
-                pages = [generate_page(int(i), seed, ents, dom_w)[0]
+                pages = [generate_page(int(i), seed, ents, dom_w, arc_frac)[0]
                          for i in pdf["id"]]
                 yield pd.DataFrame({
                     "url": [p["url"] for p in pages],
@@ -355,7 +420,7 @@ def pages_dataframe(spark, n_pages: int, seed: int = SEED,
         df = spark.range(0, n_pages, 1, n_parts).mapInPandas(gen, schema)
         return df
 
-    pages, _, _ = generate_pages(n_pages, seed)
+    pages, _, _ = generate_pages(n_pages, seed, arc_frac)
     rows = [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in pages]
     df = spark.createDataFrame(rows, schema)
     if partitions:

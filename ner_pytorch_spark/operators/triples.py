@@ -9,6 +9,13 @@ extractor is the pattern/co-occurrence path SURVEY §7 Phase 3 specifies:
   non-overlapping) — entirely JVM-side;
 * predicate = the token run BETWEEN the two mentions, matched against a
   broadcast predicate lexicon (equi broadcast join, J5 shape);
+* **verb-arc layer** (:func:`verb_arc_triples`) — a deterministic
+  approximation of the reference's dependency arcs: a lexicon verb
+  anywhere in the sentence links its NEAREST preceding mention (subject)
+  to its NEAREST following mention (object), so predicates survive
+  modifiers/appositives that break the exact between-phrase match
+  (udpipe.py:63-102 arc semantics, parser-free). Layered behind the
+  pattern path: arcs only for pairs the between-join did not claim.
 * optional co-occurrence fallback (``cooccurs_with``) for pairs within
   ``window`` tokens that match no pattern.
 
@@ -27,6 +34,7 @@ def sentence_local_triples(
     tagged: DataFrame,
     predicate_lexicon: dict[str, str],
     cooccurrence_window: int | None = None,
+    verb_lexicon: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shuffle-free triple extraction (the 100 TB path).
 
@@ -67,6 +75,8 @@ def sentence_local_triples(
         "obj_surface", "obj_type", "subj_mention_id", "obj_mention_id",
     ]
     result = pairs.join(F.broadcast(lex), on="between", how="inner").select(*out_cols)
+    if verb_lexicon:
+        result = _layer_verb_arcs(result, tagged, verb_lexicon, out_cols)
     if cooccurrence_window is not None:
         coocc = (
             pairs.join(F.broadcast(lex), on="between", how="left_anti")
@@ -76,6 +86,84 @@ def sentence_local_triples(
         )
         result = result.unionByName(coocc)
     return result
+
+
+def verb_arc_triples(tagged: DataFrame,
+                     verb_lexicon: dict[str, str]) -> DataFrame:
+    """C6 arc-shaped extraction without a parser (zero exchanges).
+
+    The reference walks UDPipe dependency arcs carrying NER tags
+    (/root/reference/dependency_paraphraser/udpipe.py:63-102); this is
+    the deterministic surface approximation: for every lexicon verb
+    token not inside a mention, subject = the mention whose END is
+    nearest before the verb, object = the mention whose START is nearest
+    after. All resolution happens INSIDE the row with higher-order array
+    functions (filter/transform/array_max) — the physical plan is
+    scan → spans UDF → posexplode → broadcast verb join → project,
+    no window, no shuffle.
+
+    ``verb_lexicon``: verb token → predicate name.
+    """
+    from .spans import extract_spans_udf
+
+    spark = tagged.sparkSession
+    vlex = spark.createDataFrame(
+        sorted(verb_lexicon.items()), "verb string, pred string")
+    # NOTE: field aliases on HOF lambda variables don't stick (Spark
+    # names them y_N), so the struct is cast to an explicit schema
+    spans_i = F.transform(
+        extract_spans_udf(F.col("pred_tags"), F.col("tokens")),
+        lambda m, i: F.struct(
+            i, m["start"], m["end"], m["tag_type"], m["surface"],
+        ).cast("struct<mention_id:int,start:int,end:int,"
+               "tag_type:string,surface:string>"))
+    verbs = (
+        tagged.select("url", "sent_id", spans_i.alias("spans"),
+                      F.posexplode("tokens").alias("pos", "verb"))
+        .join(F.broadcast(vlex), on="verb")
+        # a verb token inside a mention span is part of the entity name
+        .filter(~F.exists(
+            "spans", lambda m: (m["start"] <= F.col("pos"))
+            & (F.col("pos") < m["end"])))
+    )
+    # nearest preceding = max end among mentions ending at/before the
+    # verb; nearest following = min start after it (struct comparison
+    # orders by the leading sort key; empty candidate set → null)
+    subj = F.array_max(F.transform(
+        F.filter("spans", lambda m: m["end"] <= F.col("pos")),
+        lambda m: F.struct(m["end"].alias("k"), m.alias("m"))))["m"]
+    obj = F.array_min(F.transform(
+        F.filter("spans", lambda m: m["start"] > F.col("pos")),
+        lambda m: F.struct(m["start"].alias("k"), m.alias("m"))))["m"]
+    return (
+        verbs.select("url", "sent_id", "pred",
+                     subj.alias("s"), obj.alias("o"))
+        .filter(F.col("s").isNotNull() & F.col("o").isNotNull())
+        .select(
+            "url", "sent_id",
+            F.col("s")["surface"].alias("subj_surface"),
+            F.col("s")["tag_type"].alias("subj_type"),
+            "pred",
+            F.col("o")["surface"].alias("obj_surface"),
+            F.col("o")["tag_type"].alias("obj_type"),
+            F.col("s")["mention_id"].alias("subj_mention_id"),
+            F.col("o")["mention_id"].alias("obj_mention_id"))
+        .dropDuplicates(["url", "sent_id", "subj_mention_id",
+                         "obj_mention_id", "pred"])
+    )
+
+
+def _layer_verb_arcs(result: DataFrame, tagged: DataFrame,
+                     verb_lexicon: dict[str, str],
+                     out_cols: list[str]) -> DataFrame:
+    """Union arc triples for pairs the pattern path did not claim."""
+    keys = ["url", "sent_id", "subj_mention_id", "obj_mention_id"]
+    arcs = (
+        verb_arc_triples(tagged, verb_lexicon)
+        .join(result.select(*keys), on=keys, how="left_anti")
+        .select(*out_cols)
+    )
+    return result.unionByName(arcs)
 
 
 def mention_pairs(mentions: DataFrame, tagged: DataFrame) -> DataFrame:
@@ -127,12 +215,15 @@ def extract_triples(
     tagged: DataFrame,
     predicate_lexicon: dict[str, str],
     cooccurrence_window: int | None = None,
+    verb_lexicon: dict[str, str] | None = None,
 ) -> DataFrame:
     """→ (url, sent_id, subj_surface, subj_type, pred, obj_surface,
     obj_type, subj_mention_id, obj_mention_id).
 
     Pattern triples via broadcast lexicon equi-join on the between-phrase;
-    optional windowed co-occurrence fallback for unmatched pairs.
+    optional verb-arc layer (``verb_lexicon``) for predicates the exact
+    between-match misses; optional windowed co-occurrence fallback for
+    unmatched pairs.
     """
     spark = mentions.sparkSession
     lex = spark.createDataFrame(
@@ -144,6 +235,8 @@ def extract_triples(
         "obj_surface", "obj_type", "subj_mention_id", "obj_mention_id",
     ]
     result = pattern.select(*out_cols)
+    if verb_lexicon:
+        result = _layer_verb_arcs(result, tagged, verb_lexicon, out_cols)
     if cooccurrence_window is not None:
         coocc = (
             pairs.join(F.broadcast(lex), on="between", how="left_anti")

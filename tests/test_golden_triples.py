@@ -20,6 +20,83 @@ def test_datagen_matches_frozen_golden():
     assert got == want, "datagen drifted from the frozen golden corpus"
 
 
+def test_arc_frac_zero_is_byte_identical():
+    """The arc-template extension must not perturb the frozen corpus."""
+    base, _, _ = datagen.generate_pages(50)
+    same, _, _ = datagen.generate_pages(50, arc_frac=0.0)
+    assert [p["html"] for p in base] == [p["html"] for p in same]
+
+
+def test_verb_arc_nearest_mention_resolution(spark):
+    """Crafted sentence with 3 mentions: the arc must pick the NEAREST
+    preceding/following mentions, not first/last, and skip verbs inside
+    mention spans."""
+    from ner_pytorch_spark.operators.triples import verb_arc_triples
+
+    toks = ("Acme Corp and Globex say Initech joined Hooli Networks "
+            "after Tyrell .").split()
+    #        0    1    2    3     4   5       6      7     8       9 10
+    tags = ["B-ORG", "E-ORG", "O", "S-ORG", "O", "S-ORG", "O",
+            "B-ORG", "E-ORG", "O", "S-ORG", "O"]
+    tagged = spark.createDataFrame(
+        [("u", 0, toks, tags, len(toks))],
+        "url string, sent_id int, tokens array<string>, "
+        "pred_tags array<string>, n_tokens long")
+    got = verb_arc_triples(tagged, {"joined": "works_for"}).collect()
+    assert len(got) == 1
+    t = got[0]
+    # nearest preceding = Initech (mention 2), nearest following =
+    # Hooli Networks (mention 3) — NOT Acme/Tyrell
+    assert (t.subj_surface, t.pred, t.obj_surface) == (
+        "Initech", "works_for", "Hooli Networks")
+    assert (t.subj_mention_id, t.obj_mention_id) == (2, 3)
+
+    # a lexicon verb INSIDE a mention span must not fire
+    toks2 = "Wonka joined Ltd thrives .".split()
+    tags2 = ["O", "B-ORG", "E-ORG", "O", "O"]
+    tagged2 = spark.createDataFrame(
+        [("u", 0, toks2, tags2, 5)],
+        "url string, sent_id int, tokens array<string>, "
+        "pred_tags array<string>, n_tokens long")
+    assert verb_arc_triples(tagged2, {"joined": "works_for"}).count() == 0
+
+
+def test_arc_corpus_prf(spark):
+    """C6 gate on the EXTENDED corpus (predicates not the exact
+    between-phrase): pattern + verb-arc layering must keep triple
+    P/R ≥ 0.95 (exact 1.0 by construction)."""
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import extract_triples
+
+    pages = datagen.pages_dataframe(spark, 150, arc_frac=0.6)
+    _, _, gold_t = datagen.generate_pages(150, arc_frac=0.6)
+    aliases = datagen.alias_rows()
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=aliases).persist()
+    mentions = mentions_table(tagged)
+    # surface-level comparison keyed by (url, sent_id, pred) with the
+    # canonical ids resolved through the alias bank
+    surf2id = {r["surface"]: r["canonical_id"] for r in aliases}
+    trips = extract_triples(mentions, tagged, datagen.PREDICATE_LEXICON,
+                            verb_lexicon=datagen.VERB_ARC_LEXICON).collect()
+    got = {(t.url, t.sent_id, surf2id[t.subj_surface], t.pred,
+            surf2id[t.obj_surface]) for t in trips}
+    gold = {(g["url"], g["sent_id"], g["subj_id"], g["pred"], g["obj_id"])
+            for g in gold_t}
+    assert gold, "extended corpus must contain gold triples"
+    tp = len(got & gold)
+    p, r = tp / max(len(got), 1), tp / max(len(gold), 1)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # and WITHOUT the arc layer, recall genuinely drops (the arc
+    # sentences are invisible to the exact between-match)
+    plain = extract_triples(mentions, tagged, datagen.PREDICATE_LEXICON).collect()
+    got_plain = {(t.url, t.sent_id, surf2id[t.subj_surface], t.pred,
+                  surf2id[t.obj_surface]) for t in plain}
+    assert len(got_plain & gold) < len(gold)
+    tagged.unpersist()
+
+
 def test_alias_bank_stable():
     rows = datagen.alias_rows()
     assert len(rows) == sum(len(e.surfaces) for e in datagen.gazetteer())
