@@ -461,6 +461,62 @@ def q_kg_eval_prf(spark, sf_dir):
     return chunk_prf(both)
 
 
+def q_kg_trained_prf(spark, sf_dir):
+    """In-engine trained-checkpoint quality gate (rows-only): distributed
+    structured-perceptron CRF-head training (iterative parameter mixing)
+    over reservoir encoder features, evaluated as chunk P/R/F1 on
+    HELD-OUT synthetic pages — the engine's demonstrable analogue of the
+    reference's ~90-F1 CoNLL gate (train.py:400-537)."""
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.evaluation import chunk_prf
+    from ner_pytorch_spark.operators.tagger import tag_sentences
+    from ner_pytorch_spark.operators.train import (reservoir_weights,
+                                                   train_crf_head)
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+
+    pages_rows, gold_mentions, _ = datagen.generate_pages(200)
+    gold: dict[tuple, tuple] = {}
+    idx: dict[str, int] = {}
+    for i, p in enumerate(pages_rows):
+        if p["lang"] != "en":
+            continue
+        idx[p["url"]] = i
+        for sid, line in enumerate(p["text"].split("\n")):
+            toks = line.split()
+            if toks:
+                gold[(p["url"], sid)] = (toks, ["O"] * len(toks))
+    for m in gold_mentions:
+        entry = gold.get((m["url"], m["sent_id"]))
+        if entry is None:
+            continue
+        _, tags = entry
+        s, e, tt = m["start"], m["end"], m["tag_type"]
+        if e - s == 1:
+            tags[s] = f"S-{tt}"
+        else:
+            tags[s] = f"B-{tt}"
+            for i in range(s + 1, e - 1):
+                tags[i] = f"I-{tt}"
+            tags[e - 1] = f"E-{tt}"
+    sents = spark.createDataFrame(
+        [(u, idx[u], sid, toks, tags) for (u, sid), (toks, tags) in gold.items()],
+        "url string, page_idx int, sent_id int, tokens array<string>, "
+        "gold_tags array<string>")
+    train = sents.filter(F.col("page_idx") < 150)
+    test = sents.filter(F.col("page_idx") >= 150)
+    v, cv = build_vocab(train, min_count=1), char_vocab(train)
+    t2i = {r["token"]: r["id"] for r in v.collect()}
+    c2i = {r["token"]: r["id"] for r in cv.collect()}
+    w0 = reservoir_weights(max(t2i.values()) + 1, max(c2i.values()) + 1, seed=7)
+    trained, _ = train_crf_head(train.repartition(4), w0, t2i, c2i,
+                                epochs=10, lr=0.5)
+    tagged = tag_sentences(test.select("url", "sent_id", "tokens"),
+                           mode="neural", weights=trained,
+                           vocab=t2i, char_vocab=c2i)
+    return chunk_prf(tagged.join(
+        test.select("url", "sent_id", "gold_tags"), on=["url", "sent_id"]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_topk": q_vocab_topk,
@@ -492,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_arc": q_kg_triples_arc,
         "kg_entity_links": q_kg_entity_links,
         "kg_eval_prf": q_kg_eval_prf,
+        "kg_trained_prf": q_kg_trained_prf,
         "kg_entity_nodes": q_kg_entity_nodes,
         "event_sessions": q_event_sessions,
     }

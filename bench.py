@@ -58,17 +58,22 @@ def _kg_pipeline(spark, pages, aliases, lexicon):
     return fused_triples(fused, lexicon).count()
 
 
-def _timed_kg(spark, n_pages, aliases, lexicon, cores):
+def _timed_kg(spark, n_pages, aliases, lexicon, cores, repeats: int = 3):
     from ner_pytorch_spark import datagen
+    from pyspark.sql import functions as F
 
-    pages = datagen.pages_dataframe(
-        spark, n_pages, distributed=True, partitions=cores * 3).persist()
+    # persist only the columns the fused path reads — the html binary is
+    # ~60% of the row and would bloat the cache / GC for nothing
+    pages = (
+        datagen.pages_dataframe(
+            spark, n_pages, distributed=True, partitions=cores * 3)
+        .select("url", "text", "lang").persist())
     n = pages.count()  # materialize input (and warm workers) off the clock
     # warm the tagger python workers + broadcasts off the clock, then
-    # best-of-3 (the sandbox has large run-to-run CPU noise)
+    # best-of-N (the sandbox has large run-to-run CPU noise)
     _kg_pipeline(spark, pages, aliases, lexicon)
     best, n_triples = 1e18, 0
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.time()
         n_triples = _kg_pipeline(spark, pages, aliases, lexicon)
         best = min(best, time.time() - t0)
@@ -152,27 +157,46 @@ def main():
     if SCALING and CPUS >= 8:
         import subprocess
 
+        def child(mode: str, cores: int, arg: int):
+            cmd = [sys.executable, __file__, mode, str(cores), str(arg)]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1200,
+            ).stdout.strip().splitlines()
+            return json.loads(out[-1])
+
         lo = max(2, CPUS // 4)
-        stats = {}
-        # two interleaved rounds per level, best taken — the sandbox has
-        # minute-scale CPU-steal noise that a single sample can't dodge
-        for cores in (lo, CPUS, lo, CPUS):
-            cmd = [sys.executable, __file__, "--scaling-child",
-                   str(cores), str(SCALING_PAGES)]
+        stats: dict[int, tuple] = {}
+        # three interleaved rounds per level, best taken — the sandbox has
+        # minute-scale CPU-steal noise a single sample can't dodge, and
+        # the noise hits whichever level is running when it strikes
+        for cores in (lo, CPUS, lo, CPUS, lo, CPUS):
             try:
-                out = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=1200,
-                    ).stdout.strip().splitlines()
-                n, secs = json.loads(out[-1])
+                n, secs = child("--scaling-child", cores, SCALING_PAGES)
             except Exception as exc:  # never let a child kill the bench line
                 extras.setdefault("scaling_errors", []).append(
                     f"cores={cores}: {exc}")
                 continue
             if cores not in stats or secs < stats[cores][1]:
                 stats[cores] = (n, secs)
+        # raw-CPU calibration on the SAME box, same pinning, same scheme:
+        # `cores` pure busy-loop processes sharing a fixed work total.
+        # This is the hardware's own N→4N ceiling (steal-prone shared VM,
+        # BASELINE.md) — the engine cannot scale past the box it runs on,
+        # so efficiency is reported raw AND normalized by this ceiling.
+        hw: dict[int, float] = {}
+        for cores in (lo, CPUS, lo, CPUS):
+            try:
+                secs = child("--calib-child", cores, 0)[0]
+            except Exception as exc:
+                extras.setdefault("scaling_errors", []).append(
+                    f"calib cores={cores}: {exc}")
+                continue
+            if cores not in hw or secs < hw[cores]:
+                hw[cores] = secs
         if len(stats) == 2:
             speedup = stats[lo][1] / stats[CPUS][1]
-            extras["scaling"] = {
+            eff = speedup / (CPUS / lo)
+            scaling = {
                 "cores_lo": lo, "cores_hi": CPUS, "n_pages": stats[lo][0],
                 "cpu_pinned": True,
                 "secs_lo": round(stats[lo][1], 3),
@@ -180,8 +204,19 @@ def main():
                 "pages_per_sec_lo": round(stats[lo][0] / stats[lo][1], 1),
                 "pages_per_sec_hi": round(stats[CPUS][0] / stats[CPUS][1], 1),
                 "speedup": round(speedup, 3),
-                "efficiency": round(speedup / (CPUS / lo), 3),
+                "efficiency": round(eff, 3),
             }
+            if len(hw) == 2:
+                hw_speedup = hw[lo] / hw[CPUS]
+                hw_eff = hw_speedup / (CPUS / lo)
+                scaling["hw_calibration"] = {
+                    "secs_lo": round(hw[lo], 3), "secs_hi": round(hw[CPUS], 3),
+                    "speedup": round(hw_speedup, 3),
+                    "efficiency_ceiling": round(hw_eff, 3),
+                }
+                scaling["efficiency_normalized"] = round(
+                    min(1.0, eff / hw_eff), 3)
+            extras["scaling"] = scaling
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -202,13 +237,46 @@ def _scaling_child(cores: int, n_pages: int) -> None:
 
     spark = _new_spark(cores)
     n, _, secs = _timed_kg(spark, n_pages, datagen.alias_rows(),
-                           datagen.PREDICATE_LEXICON, cores)
+                           datagen.PREDICATE_LEXICON, cores, repeats=2)
     spark.stop()
     print(json.dumps([n, secs]))
+
+
+_CALIB_WORK = 1_440_000_000  # total loop iterations, split across processes
+
+
+def _calib_child(cores: int) -> None:
+    """Raw-CPU ceiling probe: `cores` pinned busy-loop processes share a
+    FIXED work total; prints [wall_secs]. Perfect hardware gives
+    wall(N)/wall(4N) = 4 — anything less is the box (steal/shared VM),
+    not the engine."""
+    import multiprocessing as mp
+
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(cores)))
+
+    per = _CALIB_WORK // cores
+    t0 = time.time()
+    procs = [mp.Process(target=_burn, args=(per,)) for _ in range(cores)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    print(json.dumps([time.time() - t0]))
+
+
+def _burn(n: int) -> None:
+    x = 0
+    for i in range(n):
+        x += i & 7
+    if x < 0:  # keep the loop un-optimizable
+        print(x)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--calib-child":
+        _calib_child(int(sys.argv[2]))
     else:
         main()

@@ -155,6 +155,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
 def minhash_lsh_pairs(
     docs: DataFrame, n_hashes: int = 16, bands: int = 4, n: int = 3,
     threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    max_block: int = 1000,
 ) -> DataFrame:
     """MinHash→LSH candidate pairs, verified with exact Jaccard.
 
@@ -186,7 +187,7 @@ def minhash_lsh_pairs(
     sh = word_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    blocked = sh.join(freq.filter(F.col("df") <= 1000), on="shingle")
+    blocked = sh.join(freq.filter(F.col("df") <= max_block), on="shingle")
     common = (
         cands
         .join(blocked.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")

@@ -249,21 +249,21 @@ class TaggerWeights:
         )
 
 
-def neural_emissions(
+def hidden_features(
     weights: TaggerWeights,
     word_ids: list[list[int]],       # per sentence
     char_ids: list[list[list[int]]],  # per sentence per word
     cap_ids: list[list[int]],
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Full M1→M6 forward for a batch of sentences.
+    """M1→M5 forward: concat [word ‖ char ‖ cap] → BiLSTM hidden states.
+
+    Returns (h [B, L, 2H], lengths [B]) — the representation the
+    emission projection (M6) and the perceptron CRF-head trainer
+    (:mod:`ner_pytorch_spark.operators.train`) both consume.
 
     Chars are flattened across the batch (one row per word) exactly like
     the reference's batching (processor.py:10-15), then scattered back.
-    Returns (emissions [B, L, num_tags], lengths [B]). START/STOP columns
-    of the projection are forced IMPOSSIBLE so decode never emits them.
     """
-    from .crf import IMPOSSIBLE
-
     B = len(word_ids)
     lengths = np.array([len(s) for s in word_ids], dtype=np.int64)
     L = max(1, int(lengths.max()) if B else 1)
@@ -300,7 +300,23 @@ def neural_emissions(
 
     h_f = lstm_forward(x, lengths, *weights.lstm_fw)
     h_b = lstm_forward(x, lengths, *weights.lstm_bw, reverse=True)
-    h = np.concatenate([h_f, h_b], axis=2)  # [B, L, 2H]
+    return np.concatenate([h_f, h_b], axis=2), lengths  # [B, L, 2H]
+
+
+def neural_emissions(
+    weights: TaggerWeights,
+    word_ids: list[list[int]],
+    char_ids: list[list[list[int]]],
+    cap_ids: list[list[int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full M1→M6 forward for a batch of sentences.
+
+    Returns (emissions [B, L, num_tags], lengths [B]). START/STOP columns
+    of the projection are forced IMPOSSIBLE so decode never emits them.
+    """
+    from .crf import IMPOSSIBLE
+
+    h, lengths = hidden_features(weights, word_ids, char_ids, cap_ids)
     feats = h @ weights.proj_w + weights.proj_b  # [B, L, T+2]
     T = weights.num_tags
     feats[:, :, T:] = IMPOSSIBLE  # START/STOP never emitted

@@ -1,0 +1,116 @@
+"""Distributed CRF-head training (structured perceptron + parameter
+mixing): the in-engine trained-checkpoint quality gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ner_pytorch_spark import datagen
+
+
+def _gold_sentences(spark, n_pages: int):
+    """(url, page_idx, sent_id, tokens, gold_tags) for en pages, gold
+    IOBES tags built from datagen's by-construction mentions."""
+    pages_rows, gold_mentions, _ = datagen.generate_pages(n_pages)
+    gold: dict[tuple, list] = {}
+    idx: dict[str, int] = {}
+    for i, p in enumerate(pages_rows):
+        if p["lang"] != "en":
+            continue
+        idx[p["url"]] = i
+        for sid, line in enumerate(p["text"].split("\n")):
+            toks = line.split()
+            if toks:
+                gold[(p["url"], sid)] = (toks, ["O"] * len(toks))
+    for m in gold_mentions:
+        entry = gold.get((m["url"], m["sent_id"]))
+        if entry is None:
+            continue
+        _, tags = entry
+        s, e, tt = m["start"], m["end"], m["tag_type"]
+        if e - s == 1:
+            tags[s] = f"S-{tt}"
+        else:
+            tags[s] = f"B-{tt}"
+            for i in range(s + 1, e - 1):
+                tags[i] = f"I-{tt}"
+            tags[e - 1] = f"E-{tt}"
+    rows = [(u, idx[u], sid, toks, tags)
+            for (u, sid), (toks, tags) in gold.items()]
+    return spark.createDataFrame(
+        rows, "url string, page_idx int, sent_id int, "
+              "tokens array<string>, gold_tags array<string>")
+
+
+@pytest.fixture(scope="module")
+def trained_bundle(spark):
+    from ner_pytorch_spark.operators.train import (reservoir_weights,
+                                                   train_crf_head)
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+
+    sents = _gold_sentences(spark, 260).persist()
+    train = sents.filter(F.col("page_idx") < 200)
+    test = sents.filter(F.col("page_idx") >= 200)
+    v = build_vocab(train, min_count=1)
+    cv = char_vocab(train)
+    t2i = {r["token"]: r["id"] for r in v.collect()}
+    c2i = {r["token"]: r["id"] for r in cv.collect()}
+    w0 = reservoir_weights(max(t2i.values()) + 1, max(c2i.values()) + 1,
+                           seed=7)
+    trained, metrics = train_crf_head(
+        train.repartition(4), w0, t2i, c2i, epochs=12, lr=0.5)
+    return w0, trained, metrics, t2i, c2i, train, test
+
+
+def _f1(spark, weights, t2i, c2i, sents):
+    from ner_pytorch_spark.operators.evaluation import chunk_prf
+    from ner_pytorch_spark.operators.tagger import tag_sentences
+
+    tagged = tag_sentences(sents.select("url", "sent_id", "tokens"),
+                           mode="neural", weights=weights,
+                           vocab=t2i, char_vocab=c2i)
+    both = tagged.join(
+        sents.select("url", "sent_id", "gold_tags"), on=["url", "sent_id"])
+    rows = {r.tag_type: r for r in chunk_prf(both).collect()}
+    return rows["OVERALL"].f1
+
+
+def test_training_reduces_mistakes(trained_bundle):
+    _, _, metrics, *_ = trained_bundle
+    assert metrics[0]["n_mistakes"] > 0
+    assert metrics[-1]["mistake_rate"] < metrics[0]["mistake_rate"]
+
+
+def test_trained_heldout_f1_gate(spark, trained_bundle):
+    """The north-star quality gate, demonstrable in-engine: the trained
+    CRF head reaches chunk F1 ≥ 0.9 on HELD-OUT synthetic pages (the
+    reference's ~90-F1 CoNLL gate, transposed to the corpus whose gold
+    is known by construction), while the untrained head is far below."""
+    w0, trained, _, t2i, c2i, _, test = trained_bundle
+    f1_untrained = _f1(spark, w0, t2i, c2i, test)
+    f1_trained = _f1(spark, trained, t2i, c2i, test)
+    assert f1_trained >= 0.9, (f1_trained, f1_untrained)
+    assert f1_trained > f1_untrained + 0.3
+
+
+def test_trained_checkpoint_roundtrip(spark, tmp_path, trained_bundle):
+    """to_npz → from_npz preserves the trained head bit-for-bit and the
+    loaded bundle decodes as trained (grammar prior off by default)."""
+    from ner_pytorch_spark.operators.encoder import TaggerWeights
+    from ner_pytorch_spark.operators.tagger import tag_sentences
+
+    _, trained, _, t2i, c2i, _, test = trained_bundle
+    assert trained.meta.get("trained") is True
+    p = str(tmp_path / "trained.npz")
+    trained.to_npz(p)
+    loaded = TaggerWeights.from_npz(p)
+    np.testing.assert_array_equal(loaded.proj_w, trained.proj_w)
+    np.testing.assert_array_equal(loaded.transitions, trained.transitions)
+    sample = test.select("url", "sent_id", "tokens").limit(50)
+    a = {(r.url, r.sent_id): tuple(r.pred_tags)
+         for r in tag_sentences(sample, mode="neural", weights=trained,
+                                vocab=t2i, char_vocab=c2i).collect()}
+    b = {(r.url, r.sent_id): tuple(r.pred_tags)
+         for r in tag_sentences(sample, mode="neural", weights=loaded,
+                                vocab=t2i, char_vocab=c2i).collect()}
+    assert a == b
