@@ -356,6 +356,22 @@ def q_kg_triples(spark, sf_dir):
     return extract_triples(mentions, tagged, datagen.PREDICATE_LEXICON)
 
 
+def q_kg_triples_cooc(spark, sf_dir):
+    """Oracle-checked triple extraction: the relational pair+window path
+    over the SAME oracle-checked gazetteer mentions (the word-salad
+    testdata has no predicate lexicon, so pattern matches are empty by
+    construction and the co-occurrence fallback carries the check)."""
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import extract_triples
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+    mentions = mentions_table(tagged)
+    return extract_triples(mentions, tagged, {}, cooccurrence_window=3)
+
+
 def q_kg_triples_arc(spark, sf_dir):
     """C6 verb-arc layer over the extended corpus (rows-only: gazetteer
     tagging + span scan are UDF-side): predicates that are NOT the exact
@@ -545,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_components": q_doc_components,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
+        "kg_triples_cooc": q_kg_triples_cooc,
         "kg_triples_arc": q_kg_triples_arc,
         "kg_entity_links": q_kg_entity_links,
         "kg_eval_prf": q_kg_eval_prf,
@@ -555,6 +572,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -------------------------------------------------------------- oracles
+
+# Shared CTE: extraction + tokenization + greedy leftmost-longest
+# gazetteer walk over _TESTDATA_ALIASES (recursive, one step per token),
+# ending in `matches(url, sent_id, m_start, m_len, m_type, m_surface)`
+# with 1-based m_start.
+_KG_MENTIONS_CTE = """
+WITH RECURSIVE
+aliases(surface, tag_type, n_tok) AS (
+  SELECT * FROM (VALUES
+    ('spark','ORG',1),('flink','ORG',1),('trino','ORG',1),('duckdb','ORG',1),
+    ('hash join','MISC',2),('merge join','MISC',2),('sort merge','MISC',2),
+    ('hash agg','MISC',2),('window','MISC',1),('rollup','MISC',1),
+    ('table','LOC',1),('partition','LOC',1),('bucket','LOC',1),
+    ('customer','PER',1),('supplier','PER',1)) v),
+pages AS (
+  SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url,
+         concat('doc', chr(10), regexp_replace(text, '\\.\\s+', '.' || chr(10), 'g')) AS etext
+  FROM documents WHERE lang = 'en'),
+lines0 AS (
+  SELECT url, unnest(string_split(etext, chr(10))) AS line,
+         generate_subscripts(string_split(etext, chr(10)), 1) - 1 AS sent_id
+  FROM pages),
+lines1 AS (
+  SELECT url, sent_id, trim(regexp_replace(line, '[ \\t\\r\\f\\v]+', ' ', 'g')) AS line
+  FROM lines0),
+sents AS (
+  SELECT url, sent_id,
+         list_filter(string_split_regex(line, '\\s+'), t -> t <> '') AS toks
+  FROM lines1 WHERE line <> ''),
+walk(url, sent_id, i, m_start, m_len, m_type, m_surface) AS (
+  SELECT url, sent_id, 1, NULL::INT, NULL::INT, NULL::VARCHAR, NULL::VARCHAR FROM sents
+  UNION ALL
+  SELECT w.url, w.sent_id,
+         CASE WHEN b.surface IS NOT NULL THEN w.i + 2 ELSE w.i + 1 END,
+         CASE WHEN b.surface IS NOT NULL OR u.surface IS NOT NULL THEN w.i END,
+         CASE WHEN b.surface IS NOT NULL THEN 2
+              WHEN u.surface IS NOT NULL THEN 1 END,
+         coalesce(b.tag_type, u.tag_type),
+         coalesce(b.surface, u.surface)
+  FROM walk w
+  JOIN sents s ON s.url = w.url AND s.sent_id = w.sent_id
+  LEFT JOIN aliases b ON b.n_tok = 2 AND w.i + 1 <= len(s.toks)
+       AND b.surface = s.toks[w.i] || ' ' || s.toks[w.i + 1]
+  LEFT JOIN aliases u ON u.n_tok = 1 AND u.surface = s.toks[w.i]
+  WHERE w.i <= len(s.toks)),
+matches AS (
+  SELECT url, sent_id, m_start, m_len, m_type, m_surface
+  FROM walk WHERE m_start IS NOT NULL)"""
 
 _SHINGLES_2 = (
     "WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),\n"
@@ -864,6 +929,39 @@ s AS (
 SELECT user_id, session_id, count(*) AS n_events,
        max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) AS duration_secs
 FROM s GROUP BY 1, 2""",
+        # full KG mention-detection oracle: the gazetteer tagger's decode
+        # equals its greedy leftmost-longest alias match by construction
+        # (MATCH_SCORE dominates and gazetteer paths are IOBES-valid), so
+        # DuckDB replays extraction (title + sentence-per-'.\\s+' chunk),
+        # tokenization, and the greedy walk as a recursive CTE.
+        "kg_mentions": _KG_MENTIONS_CTE + """
+SELECT url, CAST(sent_id AS INT) AS sent_id,
+       CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+         AS mention_id,
+       CAST(m_start - 1 AS INT) AS start,
+       CAST(m_start - 1 + m_len AS INT) AS "end",
+       m_type AS tag_type, m_surface AS surface
+FROM matches""",
+        # triple extraction over the SAME oracle-checked mention matcher:
+        # ordered in-sentence mention pairs within the co-occurrence
+        # window (the relational triple path minus the corpus-specific
+        # predicate lexicon, which the word-salad testdata lacks)
+        "kg_triples_cooc": _KG_MENTIONS_CTE + """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         CAST(m_start - 1 AS INT) AS start,
+         CAST(m_start - 1 + m_len AS INT) AS "end",
+         m_type AS tag_type, m_surface AS surface
+  FROM matches)
+SELECT a.url, a.sent_id,
+       a.surface AS subj_surface, a.tag_type AS subj_type,
+       'cooccurs_with' AS pred,
+       b.surface AS obj_surface, b.tag_type AS obj_type,
+       a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
+FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
+WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
         "doc_components": f"""
 WITH j AS ({_jaccard_sql(1, 0.62)}),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM j
