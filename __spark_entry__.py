@@ -390,6 +390,26 @@ def q_kg_triples_arc(spark, sf_dir):
                            verb_lexicon=datagen.VERB_ARC_LEXICON)
 
 
+def q_kg_candidate_links(spark, sf_dir):
+    """Oracle-checked candidate generation (J4): top-k cosine against the
+    broadcast alias bank with an md5-derived (SQL-recomputable) embedding
+    space — DuckDB replays mention detection, token vectors, pooling and
+    the (score desc, surface asc) ranking bit-for-bit. Score column is
+    dropped (float32 vs float64 representation); the RANKING is the
+    contract."""
+    from ner_pytorch_spark.functions.embeddings import Md5Embedder
+    from ner_pytorch_spark.operators.linking import candidate_links
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+    mentions = mentions_table(tagged)
+    return candidate_links(mentions, _TESTDATA_ALIASES, k=3,
+                           embedder=Md5Embedder(16)).drop("score")
+
+
 def q_kg_entity_links(spark, sf_dir):
     from ner_pytorch_spark import datagen
     from ner_pytorch_spark.operators.linking import candidate_links, link_mentions
@@ -564,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_cooc": q_kg_triples_cooc,
         "kg_triples_arc": q_kg_triples_arc,
         "kg_entity_links": q_kg_entity_links,
+        "kg_candidate_links": q_kg_candidate_links,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_trained_prf": q_kg_trained_prf,
         "kg_entity_nodes": q_kg_entity_nodes,
@@ -962,6 +983,63 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        # candidate-generation oracle: md5-derived unit token vectors
+        # (Md5Embedder parity), mean pooling per surface, per-tag-type
+        # cosine RANKING (q-norm cancels within a mention; alias norm
+        # kept), tie-break (score desc, candidate_surface asc) = the
+        # alias bank's surface-sorted index order
+        "kg_candidate_links": _KG_MENTIONS_CTE + """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_type AS tag_type, m_surface AS surface
+  FROM matches),
+abank(surface, tag_type, canonical_id) AS (
+  SELECT * FROM (VALUES
+    ('spark','ORG',CAST(0 AS BIGINT)),('flink','ORG',1),('trino','ORG',2),('duckdb','ORG',3),
+    ('hash join','MISC',100),('merge join','MISC',101),('sort merge','MISC',102),
+    ('hash agg','MISC',103),('window','MISC',104),('rollup','MISC',105),
+    ('table','LOC',200),('partition','LOC',201),('bucket','LOC',202),
+    ('customer','PER',300),('supplier','PER',301)) v),
+surfs AS (
+  SELECT surface FROM ments UNION SELECT surface FROM abank),
+stoks AS (
+  SELECT surface, unnest(string_split(surface, ' ')) AS token FROM surfs),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS i),
+tvec0 AS (
+  SELECT token, i,
+         md5_number_upper(concat('emb:', token, ':', i))
+           / 18446744073709551616.0 * 2 - 1 AS v
+  FROM (SELECT DISTINCT token FROM stoks) CROSS JOIN dims),
+tvec AS (
+  SELECT t.token, t.i, t.v / n.nrm AS v
+  FROM tvec0 t JOIN (SELECT token, sqrt(sum(v * v)) AS nrm
+                     FROM tvec0 GROUP BY token) n USING (token)),
+pooled AS (
+  SELECT s.surface, v.i, avg(v.v) AS p
+  FROM stoks s JOIN tvec v USING (token) GROUP BY 1, 2),
+anorm AS (
+  SELECT a.surface, sqrt(sum(p.p * p.p)) AS nrm
+  FROM abank a JOIN pooled p USING (surface) GROUP BY 1),
+scores AS (
+  SELECT m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
+         a.surface AS candidate_surface, a.canonical_id,
+         sum(pm.p * pa.p) / any_value(an.nrm) AS key
+  FROM ments m
+  JOIN abank a ON a.tag_type = m.tag_type
+  JOIN pooled pm ON pm.surface = m.surface
+  JOIN pooled pa ON pa.surface = a.surface AND pa.i = pm.i
+  JOIN anorm an ON an.surface = a.surface
+  GROUP BY m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
+           a.surface, a.canonical_id)
+SELECT url, sent_id, mention_id, surface, tag_type,
+       CAST(rn - 1 AS INT) AS rank, candidate_surface, canonical_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY url, sent_id, mention_id
+                               ORDER BY key DESC, candidate_surface) AS rn
+  FROM scores)
+WHERE rn <= 3""",
         "doc_components": f"""
 WITH j AS ({_jaccard_sql(1, 0.62)}),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM j

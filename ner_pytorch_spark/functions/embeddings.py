@@ -47,6 +47,32 @@ class HashEmbedder:
         return hash_token_vector(token, self.dim)
 
 
+class Md5Embedder:
+    """md5-derived unit vectors — recomputable in DuckDB SQL.
+
+    Component i of ``vec(token)`` = md5_number_upper("emb:<token>:<i>")
+    (little-endian first 8 md5 digest bytes) mapped to [-1, 1), then the
+    vector is L2-normalized. Same construction as
+    :func:`~ner_pytorch_spark.operators.similarity.lsh_planes` — NOT a
+    semantic space, but deterministic across engines, which is what lets
+    the driver hash-check the linking operators end-to-end.
+    """
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def vec(self, token: str) -> np.ndarray:
+        import hashlib
+
+        u = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"emb:{token}:{i}".encode()).digest()[:8],
+                "little") for i in range(self.dim)),
+            dtype=np.float64, count=self.dim)
+        v = u / 2.0**64 * 2 - 1
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+
 class MatrixEmbedder:
     """Pretrained word vectors with the reference's 3-key lookup chain.
 
