@@ -7,6 +7,12 @@ Checks (printed + asserted):
     partial (map-side) hash aggregation present
   * region_rollup: both dimension joins are broadcast
   * top_orders_per_cust: single shuffle on the window partition key
+  * lsh_topk: NO giant literal plane arrays in the plan (round-1 bug),
+    bucketing via one Arrow stage, candidate join on (table, bucket)
+  * verb_arc_triples: zero exchanges (HOF resolution inside the row,
+    verb lexicon broadcast)
+  * simhash_pairs: candidate pairs from a chunk equi-join, never a
+    cartesian product
 """
 
 from __future__ import annotations
@@ -84,6 +90,35 @@ def main():
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     print(("OK " if n_ex <= 2 else "FAIL") + f" window_topk_exchanges ({n_ex}; repartition+window)")
     ok &= n_ex <= 2
+
+    # lsh_topk: the plan must NOT inline hyperplanes as literal arrays
+    # (round 1 built dim×bits×tables literals) and the candidate join is
+    # an equi-join on (table, bucket)
+    lsh = e.q_ann_lsh_topk(spark, SF)
+    plan = plan_of(lsh)
+    n_lits = plan.count("0.")  # literal doubles would appear en masse
+    ok &= check("lsh_topk_no_plan_literals", plan,
+                must=[r"ArrowEvalPython|MapInPandas|mapInPandas"],
+                must_not=[r"SortMergeJoin|CartesianProduct|BroadcastNestedLoop"])
+    print(("OK " if n_lits < 200 else "FAIL")
+          + f" lsh_topk_literal_count ({n_lits} float-ish literals)")
+    ok &= n_lits < 200
+
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import verb_arc_triples
+
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=datagen.alias_rows())
+    arcs = verb_arc_triples(tagged, datagen.VERB_ARC_LEXICON)
+    plan = plan_of(arcs)
+    ok &= check("verb_arc_zero_exchange", plan,
+                must=[r"BroadcastHashJoin"],
+                must_not=[r"Exchange hashpartitioning", r"SortMergeJoin"])
+
+    sh = e.q_simhash_pairs(spark, SF)
+    plan = plan_of(sh)
+    ok &= check("simhash_chunk_equijoin", plan,
+                must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
 
     # html never read from a parquet-backed pages table when the fused
     # path only consumes (url, text) — column pruning reaches the scan
