@@ -323,12 +323,14 @@ def pages_to_mention_pairs(
         for pdf in batches:
             urls, sids, tok_lists = [], [], []
             for url, text in zip(pdf["url"], pdf["text"]):
+                ascii_text = text.isascii()
                 for sent_id, line in enumerate(text.split("\n")):
-                    # py_tokenize_ws, NOT str.split(): the staged path
-                    # tokenizes with JVM \s+ (ASCII-only) and the fused
-                    # path must share that contract on non-ASCII
-                    # whitespace (U+00A0 etc.)
-                    toks = py_tokenize_ws(line)
+                    # tokenization contract = JVM \s+ (ASCII-only). On
+                    # ASCII lines str.split() is identical and ~3× faster
+                    # (the hot path); non-ASCII lines go through the
+                    # pinned ASCII-class regex so U+00A0/U+2009 never
+                    # split here when the staged path keeps them intact.
+                    toks = line.split() if ascii_text else py_tokenize_ws(line)
                     if toks:
                         urls.append(url)
                         sids.append(sent_id)
