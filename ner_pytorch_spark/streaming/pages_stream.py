@@ -41,6 +41,21 @@ def mentions_stream(pages: DataFrame, aliases: list[dict]) -> DataFrame:
     return mentions_table(tagged)
 
 
+def triples_stream(pages: DataFrame, aliases: list[dict],
+                   predicate_lexicon: dict[str, str],
+                   cooccurrence_window: int | None = None) -> DataFrame:
+    """Streaming KG construction: the FUSED single-crossing hot path
+    (sentence split + gazetteer match + Viterbi + spans + pair gen in one
+    mapInPandas) lifted onto the stream, then the broadcast predicate-
+    lexicon join — all stateless / broadcast, so the micro-batch plan is
+    the batch plan verbatim (stream==batch tested)."""
+    from ..operators.tagger import fused_triples, pages_to_mention_pairs
+
+    fused = pages_to_mention_pairs(pages, aliases)
+    return fused_triples(fused, predicate_lexicon,
+                         cooccurrence_window=cooccurrence_window)
+
+
 def windowed_mention_counts(
     pages: DataFrame, aliases: list[dict],
     window: str = "1 hour", watermark: str = "2 hours",

@@ -88,6 +88,31 @@ def test_lineage_and_metrics_written(spark, tmp_path):
     assert sent_total == pipe.catalog.read("sentences").count()
 
 
+def test_pipeline_neural_mode(spark, tmp_path):
+    """KGPipeline end-to-end in NEURAL mode (exercises the length-sorted
+    repartition wiring before tagging): decodes are grammar-valid, every
+    sentence is tagged, snapshots land."""
+    from ner_pytorch_spark.functions.tagscheme import iobes_iob
+    from ner_pytorch_spark.operators.tagger import sentences_table
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+    from ner_pytorch_spark.operators.weights_io import build_tagger_weights
+
+    pages = datagen.pages_dataframe(spark, 25)
+    sents = sentences_table(pages)
+    v, cv = build_vocab(sents, min_count=1), char_vocab(sents)
+    w, t2i, c2i = build_tagger_weights(v, cv, word_dim=16, char_dim=6,
+                                       char_out=6, hidden=12)
+    pipe = KGPipeline(spark, str(tmp_path / "cat"), datagen.alias_rows(),
+                      mode="neural", weights=w, vocab=t2i, char_vocab=c2i)
+    out = pipe.run(pages)
+    tagged = out["tagged"].collect()
+    assert len(tagged) == sents.count()
+    for r in tagged[:50]:
+        assert len(r.pred_tags) == len(r.tokens)
+        iobes_iob(list(r.pred_tags))  # raises if grammar-invalid
+    assert pipe.catalog.exists("entity_nodes")
+
+
 def test_salted_repartition_spreads_hot_domain(spark):
     rows = [(f"https://hot.example.com/{i}", "x") for i in range(400)]
     df = spark.createDataFrame(rows, "url string, text string")

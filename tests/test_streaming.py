@@ -28,6 +28,31 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_triples_stream_matches_batch(spark, tmp_path):
+    """Streaming KG construction (fused path on readStream + broadcast
+    lexicon join) produces exactly the batch triples."""
+    from ner_pytorch_spark.operators.tagger import fused_triples, pages_to_mention_pairs
+    from ner_pytorch_spark.streaming.pages_stream import triples_stream
+
+    pages = datagen.pages_dataframe(spark, 40)
+    src = str(tmp_path / "pages_in")
+    pages.write.parquet(src)
+    aliases = datagen.alias_rows()
+    lex = datagen.PREDICATE_LEXICON
+
+    stream = read_pages_stream(spark, src)
+    out_path = str(tmp_path / "triples_out")
+    q = run_to_sink(triples_stream(stream, aliases, lex), out_path,
+                    str(tmp_path / "ckpt_t"))
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    batch = fused_triples(
+        pages_to_mention_pairs(spark.read.parquet(src), aliases), lex)
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(want) > 0
+
+
 def test_windowed_mention_counts(spark, tmp_path):
     """Watermarked event-time aggregate runs and matches a batch count."""
     from pyspark.sql import functions as F
