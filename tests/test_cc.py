@@ -29,6 +29,44 @@ def test_long_int_ids(spark):
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
 
 
+def test_star_cc_matches_label_propagation(spark, tmp_path):
+    """The web-scale alternating large/small-star variant produces the
+    SAME (node, component) mapping as label propagation on chains (the
+    high-diameter case it exists for), cycles, and random graphs —
+    including with reliable-storage checkpoints."""
+    import numpy as np
+
+    from ner_pytorch_spark.operators.cc import (connected_components,
+                                                connected_components_star)
+
+    # 60-node chain: diameter 60, star rounds must still converge fast
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(60)],
+        "src string, dst string")
+    a = {r.node: r.component for r in connected_components(chain, max_iter=80).collect()}
+    b = {r.node: r.component for r in connected_components_star(chain).collect()}
+    assert a == b and set(b.values()) == {"n00"}
+
+    # cycle + random graphs, int ids, plus checkpoint-to-storage mode
+    rng = np.random.default_rng(23)
+    cyc = [(i, (i + 1) % 25) for i in range(25)]
+    cases = [cyc]
+    for _ in range(2):
+        n_nodes = int(rng.integers(20, 60))
+        es = [(int(rng.integers(0, n_nodes)), int(rng.integers(0, n_nodes)))
+              for _ in range(int(rng.integers(10, 80)))]
+        cases.append([(x, y) for x, y in es if x != y])
+    for i, es in enumerate(cases):
+        if not es:
+            continue
+        df = spark.createDataFrame(es, "src long, dst long")
+        want = {r.node: r.component for r in connected_components(df).collect()}
+        got = {r.node: r.component for r in connected_components_star(
+            df, checkpoint_dir=str(tmp_path / f"ck{i}") if i == 0 else None
+        ).collect()}
+        assert got == want, f"case {i}"
+
+
 def test_random_graphs_vs_union_find(spark):
     """Differential: Spark cc == pure union-find on random graphs."""
     import numpy as np
