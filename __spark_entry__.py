@@ -316,6 +316,30 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_read(spark, sf_dir, "documents"))
 
 
+# word-salad paraphrase edges over the testdata vocabulary — the J5
+# lookup needs SOME equivalence table; paraphrase strings are arbitrary
+_PPDB_EDGES = [
+    ("hash join", "grace join"), ("merge join", "sorted join"),
+    ("spark", "pyspark"), ("window", "pane"), ("rollup", "cube"),
+    ("partition", "shard"), ("customer", "client"),
+]
+
+
+def q_paraphrase_ngram(spark, sf_dir):
+    """Oracle-checked J5: greedy longest-match-first n-gram paraphrase
+    lookup (explode n-grams, broadcast edge join, per-start window dedup
+    with bigram priority) over the documents corpus."""
+    from ner_pytorch_spark.operators.textstats import tokens_lower
+    from ner_pytorch_spark.sources.ppdb import paraphrase_ngram_lookup
+
+    docs = _read(spark, sf_dir, "documents")
+    sents = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).alias("sent_id"), tokens_lower("text").alias("tokens"))
+    ppdb = spark.createDataFrame(_PPDB_EDGES, "phrase string, paraphrase string")
+    return paraphrase_ngram_lookup(sents, ppdb, max_n=2)
+
+
 def q_doc_components(spark, sf_dir):
     """Connected components over near-dup edges (unigram jaccard ≥ 0.62)."""
     from ner_pytorch_spark.operators.cc import connected_components
@@ -579,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "doc_components": q_doc_components,
+        "paraphrase_ngram": q_paraphrase_ngram,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -983,6 +1008,26 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        "paraphrase_ngram": f"""
+WITH edges(phrase, paraphrase) AS (SELECT * FROM (VALUES {", ".join(
+            f"('{p}','{q}')" for p, q in _PPDB_EDGES)}) v),
+toks AS (SELECT concat('doc://', CAST(doc_id AS VARCHAR)) AS url, {_TOKS_SQL} AS t
+         FROM documents),
+g1 AS (SELECT url, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+g2 AS (SELECT url, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks),
+grams AS (
+  SELECT url, CAST(i - 1 AS INT) AS start, CAST(1 AS INT) AS n,
+         t[i] AS phrase FROM g1
+  UNION ALL
+  SELECT url, CAST(i - 1 AS INT) AS start, CAST(2 AS INT) AS n,
+         concat(t[i], ' ', t[i + 1]) AS phrase FROM g2),
+hits AS (
+  SELECT g.url, CAST(0 AS INT) AS sent_id, g.start, g.n, g.phrase, e.paraphrase
+  FROM grams g JOIN edges e USING (phrase))
+SELECT url, sent_id, start, n, phrase, paraphrase FROM (
+  SELECT *, row_number() OVER (PARTITION BY url, sent_id, start
+                               ORDER BY n DESC, paraphrase) AS rn
+  FROM hits) WHERE rn = 1""",
         # candidate-generation oracle: md5-derived unit token vectors
         # (Md5Embedder parity), mean pooling per surface, per-tag-type
         # cosine RANKING (q-norm cancels within a mention; alias norm
