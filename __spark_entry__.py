@@ -447,6 +447,27 @@ def q_kg_entity_links(spark, sf_dir):
     return link_mentions(candidate_links(mentions, aliases, k=3))
 
 
+def q_kg_entity_nodes_checked(spark, sf_dir):
+    """Oracle-checked canonicalization tail over the documents corpus:
+    mentions → md5-embedder top-1 links → surface↔canonical bipartite
+    graph → connected components → entity-node table. With kg_mentions,
+    kg_candidate_links and kg_triples_cooc this puts a DuckDB hash check
+    on every stage of the KG pipeline shape."""
+    from ner_pytorch_spark.functions.embeddings import Md5Embedder
+    from ner_pytorch_spark.operators.linking import candidate_links, link_mentions
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.plans.kg_pipeline import entity_nodes_from_links
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+    mentions = mentions_table(tagged)
+    links = link_mentions(candidate_links(
+        mentions, _TESTDATA_ALIASES, k=3, embedder=Md5Embedder(16)))
+    return entity_nodes_from_links(links)
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min idle cutoff) — the same
     cumulative-sum session segmentation as the CoNLL blank-line scan
@@ -613,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eval_prf": q_kg_eval_prf,
         "kg_trained_prf": q_kg_trained_prf,
         "kg_entity_nodes": q_kg_entity_nodes,
+        "kg_entity_nodes_checked": q_kg_entity_nodes_checked,
         "event_sessions": q_event_sessions,
     }
 
@@ -1085,6 +1107,78 @@ FROM (
                                ORDER BY key DESC, candidate_surface) AS rn
   FROM scores)
 WHERE rn <= 3""",
+        # full canonicalization-tail oracle: top-1 links from the
+        # md5-embedder ranking, surface-canonical bipartite edges,
+        # recursive reachability closure (connected components), then
+        # deterministic per-canonical aggregates
+        "kg_entity_nodes_checked": _KG_MENTIONS_CTE + """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_type AS tag_type, m_surface AS surface
+  FROM matches),
+abank(surface, tag_type, canonical_id) AS (
+  SELECT * FROM (VALUES
+    ('spark','ORG',CAST(0 AS BIGINT)),('flink','ORG',1),('trino','ORG',2),('duckdb','ORG',3),
+    ('hash join','MISC',100),('merge join','MISC',101),('sort merge','MISC',102),
+    ('hash agg','MISC',103),('window','MISC',104),('rollup','MISC',105),
+    ('table','LOC',200),('partition','LOC',201),('bucket','LOC',202),
+    ('customer','PER',300),('supplier','PER',301)) v),
+surfs AS (SELECT surface FROM ments UNION SELECT surface FROM abank),
+stoks AS (SELECT surface, unnest(string_split(surface, ' ')) AS token FROM surfs),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS i),
+tvec0 AS (
+  SELECT token, i,
+         md5_number_upper(concat('emb:', token, ':', i))
+           / 18446744073709551616.0 * 2 - 1 AS v
+  FROM (SELECT DISTINCT token FROM stoks) CROSS JOIN dims),
+tvec AS (
+  SELECT t.token, t.i, t.v / n.nrm AS v
+  FROM tvec0 t JOIN (SELECT token, sqrt(sum(v * v)) AS nrm
+                     FROM tvec0 GROUP BY token) n USING (token)),
+pooled AS (
+  SELECT s.surface, v.i, avg(v.v) AS p
+  FROM stoks s JOIN tvec v USING (token) GROUP BY 1, 2),
+anorm AS (
+  SELECT a.surface, sqrt(sum(p.p * p.p)) AS nrm
+  FROM abank a JOIN pooled p USING (surface) GROUP BY 1),
+lscores AS (
+  SELECT m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
+         a.surface AS candidate_surface, a.canonical_id,
+         sum(pm.p * pa.p) / any_value(an.nrm) AS key
+  FROM ments m
+  JOIN abank a ON a.tag_type = m.tag_type
+  JOIN pooled pm ON pm.surface = m.surface
+  JOIN pooled pa ON pa.surface = a.surface AND pa.i = pm.i
+  JOIN anorm an ON an.surface = a.surface
+  GROUP BY m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
+           a.surface, a.canonical_id),
+links AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url, sent_id, mention_id
+                                 ORDER BY key DESC, candidate_surface) AS rn
+    FROM lscores) WHERE rn = 1),
+ledges AS (
+  SELECT DISTINCT concat('s:', surface) AS a,
+                  concat('c:', CAST(canonical_id AS VARCHAR)) AS b
+  FROM links),
+lsym AS (SELECT a, b FROM ledges UNION SELECT b, a FROM ledges),
+lreach(a, b) AS (
+  SELECT a, b FROM lsym
+  UNION
+  SELECT r.a, s.b FROM lreach r JOIN lsym s ON r.b = s.a),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component FROM lreach GROUP BY a),
+aggs AS (
+  SELECT canonical_id, min(candidate_surface) AS canonical_surface,
+         min(tag_type) AS tag_type, count(*) AS n_mentions
+  FROM links GROUP BY canonical_id)
+SELECT CAST(substr(node, 3) AS BIGINT) AS canonical_id,
+       component AS entity_component,
+       canonical_surface, tag_type, n_mentions
+FROM comp JOIN aggs ON CAST(substr(node, 3) AS BIGINT) = canonical_id
+WHERE node LIKE 'c:%'""",
         "doc_components": f"""
 WITH j AS ({_jaccard_sql(1, 0.62)}),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM j

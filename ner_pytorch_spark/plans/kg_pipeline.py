@@ -52,6 +52,35 @@ def salted_repartition(df: DataFrame, key: str = "url", salt: int = 64,
     return df.repartition(n, "_salt", "_spread").drop("_salt", "_spread")
 
 
+def entity_nodes_from_links(links: DataFrame) -> DataFrame:
+    """Canonicalization tail: per-mention links → entity-node table.
+
+    surfaces ↔ canonical ids become an undirected bipartite graph
+    ('s:<surface>' / 'c:<id>' nodes); connected components merge
+    entities that share any surface; each c-node carries its component
+    label plus deterministic aggregates of its link rows.
+    Output: (canonical_id, entity_component, canonical_surface,
+    tag_type, n_mentions).
+    """
+    surf_edges = links.select(
+        F.concat(F.lit("s:"), F.col("surface")).alias("src"),
+        F.concat(F.lit("c:"), F.col("canonical_id").cast("string")).alias("dst"),
+    ).distinct()
+    comps = connected_components(surf_edges)
+    return (
+        comps.filter(F.col("node").startswith("c:"))
+        .select(
+            F.regexp_replace("node", "^c:", "").cast("long").alias("canonical_id"),
+            F.col("component").alias("entity_component"))
+        .join(
+            links.groupBy("canonical_id").agg(
+                F.min("candidate_surface").alias("canonical_surface"),
+                F.min("tag_type").alias("tag_type"),  # unique per id; min = deterministic
+                F.count(F.lit(1)).alias("n_mentions")),
+            on="canonical_id")
+    )
+
+
 def _partition_lineage(df: DataFrame, stage: str) -> DataFrame:
     """Per-partition row counts — the lineage record for one stage."""
     return (
@@ -140,27 +169,8 @@ class KGPipeline:
         edges = self._stage(
             "edges", resume, lambda: canonical_triples(triples, links))
 
-        def build_nodes():
-            # canonicalization: surfaces ↔ canonical ids, components = entity
-            surf_edges = links.select(
-                F.concat(F.lit("s:"), F.col("surface")).alias("src"),
-                F.concat(F.lit("c:"), F.col("canonical_id").cast("string")).alias("dst"),
-            ).distinct()
-            comps = connected_components(surf_edges)
-            return (
-                comps.filter(F.col("node").startswith("c:"))
-                .select(
-                    F.regexp_replace("node", "^c:", "").cast("long").alias("canonical_id"),
-                    F.col("component").alias("entity_component"))
-                .join(
-                    links.groupBy("canonical_id").agg(
-                        F.min("candidate_surface").alias("canonical_surface"),
-                        F.min("tag_type").alias("tag_type"),  # unique per id; min = deterministic
-                        F.count(F.lit(1)).alias("n_mentions")),
-                    on="canonical_id")
-            )
-
-        nodes = self._stage("entity_nodes", resume, build_nodes)
+        nodes = self._stage("entity_nodes", resume,
+                            lambda: entity_nodes_from_links(links))
         return {
             "sentences": sents, "tagged": tagged, "mentions": mentions,
             "links": links, "triples": triples, "edges": edges, "nodes": nodes,
