@@ -288,6 +288,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_read(spark, sf_dir, "embeddings"), k=5, n_bits=6, n_tables=3)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Oracle-checked IVF ANN: deterministic smallest-id coarse
+    quantizer, nearest-cell assignment, n_probe-cell candidate join,
+    exact-cosine verify — fully replayed in SQL."""
+    from ner_pytorch_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=5, n_cells=8,
+                    n_probe=3)
+
+
 def q_broadcast_knn(spark, sf_dir):
     """Broadcast-matrix exact kNN (J4 shape) — same result as cosine_topk,
     oracled by the same SQL."""
@@ -619,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_dedup": q_embedding_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "broadcast_knn": q_broadcast_knn,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
@@ -894,6 +905,47 @@ buckets AS (
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
   FROM buckets a JOIN buckets b USING (t, bucket) WHERE a.vec_id <> b.vec_id),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+    round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+     / (sqrt(list_aggregate(list_transform(a.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      * sqrt(list_aggregate(list_transform(b.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cosine
+  FROM cands c JOIN embeddings a ON a.vec_id = c.vec_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id)
+SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5""",
+        # IVF oracle: smallest-id centroids, (dot desc, idx asc)
+        # nearest-cell assignment and n_probe probing replayed in SQL,
+        # exact left-fold cosine on candidates
+        "ivf_topk": """
+WITH cents0 AS (
+  SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+cents1 AS (
+  SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS idx, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM cents0),
+adots AS (
+  SELECT e.vec_id, c.idx,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+           'sum') / c.nrm AS d
+  FROM embeddings e CROSS JOIN cents1 c),
+ranked AS (
+  SELECT vec_id, idx,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, idx) AS rn
+  FROM adots),
+cells AS (SELECT vec_id, idx AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id, idx AS cell FROM ranked WHERE rn <= 3),
+cands AS (
+  SELECT DISTINCT p.vec_id, ix.vec_id AS neighbor_id
+  FROM probes p JOIN cells ix USING (cell)
+  WHERE p.vec_id <> ix.vec_id),
 scored AS (
   SELECT c.vec_id, c.neighbor_id,
     round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),

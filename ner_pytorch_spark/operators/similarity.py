@@ -137,6 +137,77 @@ def broadcast_topk(
     return queries.select(id_col, emb_col).mapInPandas(run, _TOPK_SCHEMA)
 
 
+def ivf_topk(
+    embeddings: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the faiss-IVF shape.
+
+    Coarse quantizer: the ``n_cells`` vectors with the SMALLEST ids,
+    L2-normalized (deterministic and engine-replayable — a k-means
+    codebook has better cell balance but isn't reproducible across
+    engines; swap one in via the same broadcast seam on a real cluster).
+    Every vector is assigned to its nearest centroid (one Arrow-batched
+    matmul); each query probes its ``n_probe`` nearest cells; only
+    same-cell pairs are scored (equi-join on cell id) and verified with
+    exact JVM left-fold cosine. ``n_probe = n_cells`` degenerates to the
+    exact answer (tested). Output schema matches :func:`cosine_topk`.
+    """
+    from pyspark.sql.types import ArrayType
+
+    rows = (embeddings.select(id_col, emb_col)
+            .orderBy(id_col).limit(n_cells).collect())
+    cents = np.array([r[1] for r in rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    bc = embeddings.sparkSession.sparkContext.broadcast(cents)
+
+    in_schema = {f.name: f.dataType for f in embeddings.schema.fields}
+    assign_schema = StructType([
+        StructField("vec_id", in_schema[id_col]),
+        StructField("emb", in_schema[emb_col]),
+        StructField("cell", IntegerType()),
+        StructField("probes", ArrayType(IntegerType())),
+    ])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf[emb_col]), dtype=np.float64)
+            dots = q @ c.T                                  # [B, n_cells]
+            # ties → smallest centroid index (lexsort mirror of the
+            # oracle's (dot desc, idx asc) ranking)
+            order = np.argsort(-dots, axis=1, kind="stable")
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col],
+                "emb": pdf[emb_col],
+                "cell": order[:, 0].astype("int32"),
+                "probes": list(order[:, :n_probe].astype("int32")),
+            })
+
+    assigned = embeddings.select(id_col, emb_col).mapInPandas(
+        assign, assign_schema)
+    index = assigned.select("cell", F.col("vec_id").alias("neighbor_id"),
+                            F.col("emb").alias("emb_b"))
+    queries = assigned.select(
+        F.col("vec_id"), F.col("emb").alias("emb_a"),
+        F.explode("probes").alias("cell"))
+    pairs = (
+        queries.join(index, on="cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "emb_a", "emb_b")
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    scored = cosine_scores(pairs)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_planes(seed: int, n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     """Deterministic md5-derived hyperplanes [n_tables, n_bits, dim].
 

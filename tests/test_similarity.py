@@ -39,6 +39,30 @@ def test_lsh_recall(emb_df):
     assert hits / total >= 0.7, f"LSH recall too low: {hits/total}"
 
 
+def test_ivf_full_probe_is_exact(emb_df):
+    """Probing every cell degenerates IVF to the exact answer."""
+    from ner_pytorch_spark.operators.similarity import cosine_topk, ivf_topk
+
+    bf = sorted(map(tuple, cosine_topk(emb_df, k=3).collect()))
+    ivf = sorted(map(tuple, ivf_topk(emb_df, k=3, n_cells=8,
+                                     n_probe=8).collect()))
+    assert ivf == bf
+
+
+def test_ivf_recall(emb_df):
+    from ner_pytorch_spark.operators.similarity import cosine_topk, ivf_topk
+
+    bf = {}
+    for r in cosine_topk(emb_df, k=3).collect():
+        bf.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_topk(emb_df, k=3, n_cells=8, n_probe=3).collect():
+        approx.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & approx.get(q, set())) for q in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.7, f"IVF recall too low: {hits/total}"
+
+
 def test_cosine_self_excluded(emb_df):
     from ner_pytorch_spark.operators.similarity import cosine_topk
 
