@@ -123,9 +123,11 @@ def main():
     neural = tag_sentences(repartition_by_length(nsents), mode="neural",
                            weights=w, vocab=t2i, char_vocab=c2i)
     neural.count()  # warm
-    t0 = time.time()
-    neural.count()
-    neural_secs = time.time() - t0
+    neural_secs = 1e18
+    for _ in range(2):  # best-of-2: minute-scale steal noise
+        t0 = time.time()
+        neural.count()
+        neural_secs = min(neural_secs, time.time() - t0)
     queries["kg_neural_tag"] = round(neural_secs, 3)
     extras["neural"] = {
         "n_sentences": n_sents,
@@ -143,9 +145,12 @@ def main():
                 "simhash_pairs", "events_hourly"]
     qmap = entrymod.queries()
     for name in bench_qs:
-        t0 = time.time()
-        qmap[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        best = 1e18
+        for _ in range(2):  # best-of-2: minute-scale steal noise
+            t0 = time.time()
+            qmap[name](spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
 
     spark.stop()
 
