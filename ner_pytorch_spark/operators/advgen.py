@@ -321,6 +321,70 @@ def unigram_surprisal(
     return adv.withColumn("score", surprisal(F.col(tokens_col)))
 
 
+def bigram_surprisal(
+    adv: DataFrame, corpus: DataFrame,
+    tokens_col: str = "adv_tokens",
+    corpus_tokens_col: str = "tokens",
+    alpha: float = 1.0,
+    max_vocab: int = 1_000_000,
+    max_bigrams: int = 2_000_000,
+) -> DataFrame:
+    """Context-sensitive fluency proxy: mean −log p(wᵢ | wᵢ₋₁) under a
+    corpus bigram model with additive unigram backoff.
+
+    One step closer to the reference's GPT-2 perplexity
+    (perplexity_est.py:27-67) than :func:`unigram_surprisal`: word ORDER
+    now matters (a scrambled sentence scores strictly worse than the
+    original, tested), while staying deterministic and LM-free.
+    p(w|prev) = (c(prev,w) + α·p_uni(w)) / (c(prev) + α);
+    p_uni(w) = (c(w)+1)/(N+1). Counts come from ONE Spark aggregation
+    over the corpus; both LUTs are bounded top-N broadcasts (tail counts
+    fall through to backoff — same boundedness contract as
+    unigram_surprisal).
+    """
+    lower_toks = F.transform(F.col(corpus_tokens_col), lambda t: F.lower(t))
+    base = corpus.select(lower_toks.alias("t"))
+    uni = (base.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    total = uni.agg(F.sum("c")).first()[0] or 1
+    uni_lut = {r["w"]: r["c"] for r in
+               uni.orderBy(F.desc("c"), "w").limit(max_vocab).collect()}
+    bi = (
+        base.filter(F.size("t") >= 2)
+        .select(F.explode(F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b))).alias("bg"))
+        .groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_lut = {r["bg"]: r["c"] for r in
+              bi.orderBy(F.desc("c"), "bg").limit(max_bigrams).collect()}
+    spark = adv.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (uni_lut, bi_lut, float(total), float(alpha)))
+
+    @F.pandas_udf(DoubleType())
+    def surprisal(tokens: pd.Series) -> pd.Series:
+        uni_, bi_, total_, a_ = bc.value
+
+        def p_uni(w):
+            return (uni_.get(w, 0) + 1) / (total_ + 1)
+
+        def score(ts):
+            if ts is None or len(ts) == 0:
+                return 0.0
+            ws = [t.lower() for t in ts]
+            logs = [-np.log(p_uni(ws[0]))]
+            for prev, w in zip(ws, ws[1:]):
+                c_prev = uni_.get(prev, 0)
+                c_bi = bi_.get(f"{prev} {w}", 0)
+                logs.append(-np.log((c_bi + a_ * p_uni(w)) / (c_prev + a_)))
+            return float(np.mean(logs))
+        return tokens.map(score)
+
+    return adv.withColumn("score", surprisal(F.col(tokens_col)))
+
+
 def select_n_filtered(
     scored_adv: DataFrame,
     orig_scores: DataFrame,

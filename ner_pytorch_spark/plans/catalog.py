@@ -127,6 +127,28 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"no snapshot for table {table!r}")
         return self.spark.read.parquet(self.snapshot_path(table, snap))
 
+    def read_increment(self, table: str, from_snapshot: int,
+                       to_snapshot: int | None = None) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive → inclusive).
+
+        Iceberg: native incremental scan
+        (``start-snapshot-id``/``end-snapshot-id`` read options — only
+        the appended files are read). Parquet backend: snapshots are
+        full copies, so the increment is ``to ∖ from`` (exceptAll —
+        multiset semantics, duplicate-tolerant). Powers incremental
+        downstream processing: resume consumers that only want NEW pages
+        since their last processed snapshot.
+        """
+        if self.use_iceberg:
+            reader = (self.spark.read
+                      .option("start-snapshot-id", from_snapshot))
+            if to_snapshot is not None:
+                reader = reader.option("end-snapshot-id", to_snapshot)
+            return reader.table(self._ident(table))
+        new = self.read(table, to_snapshot)
+        old = self.read(table, from_snapshot)
+        return new.exceptAll(old)
+
     def append_rows(self, table: str, df: DataFrame) -> int:
         """Append = new snapshot containing old ∪ new rows.
 

@@ -110,3 +110,23 @@ def test_singleton_dropout_deterministic(spark):
     assert a == b == ["common", "<UNK>", "common", "<UNK>"]
     c = singleton_dropout(df, singles, p=0.0).first().tokens
     assert c == ["common", "rare1", "common", "rare2"]
+
+def test_bigram_surprisal_word_order(spark):
+    """M11 upgrade: bigram backoff LM is order-sensitive — a scrambled
+    corpus sentence scores strictly worse than the original (a unigram
+    model cannot tell them apart) and an in-corpus sentence beats a
+    rare-word one."""
+    from ner_pytorch_spark.operators.advgen import bigram_surprisal
+
+    corpus_rows = [(f"s{i}", "the cat sat on the mat".split()) for i in range(20)] + \
+                  [(f"t{i}", "a dog ran in the park".split()) for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows, "sid string, tokens array<string>")
+    adv = spark.createDataFrame(
+        [("u", 0, 0, "the cat sat on the mat".split()),
+         ("u", 0, 1, "mat the on sat cat the".split()),
+         ("u", 1, 0, "zyx qwv flurb on the mat".split())],
+        "url string, sent_id int, variant_id int, adv_tokens array<string>")
+    got = {(r.sent_id, r.variant_id): r.score
+           for r in bigram_surprisal(adv, corpus).collect()}
+    assert got[(0, 0)] < got[(0, 1)], "scrambled order must score worse"
+    assert got[(0, 0)] < got[(1, 0)], "rare words must score worse"

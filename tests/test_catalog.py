@@ -92,6 +92,39 @@ class _FakeSpark:
 ICEBERG_CONF = {"spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog"}
 
 
+def test_parquet_incremental_read(spark, tmp_path):
+    """read_increment returns exactly the rows appended between two
+    snapshots (multiset semantics — duplicates preserved)."""
+    from ner_pytorch_spark.plans.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    s0 = cat.commit("t", spark.createDataFrame([(1, "a"), (2, "b")],
+                                               "id int, v string"))
+    s1 = cat.append_rows("t", spark.createDataFrame([(3, "c"), (2, "b")],
+                                                    "id int, v string"))
+    s2 = cat.append_rows("t", spark.createDataFrame([(4, "d")],
+                                                    "id int, v string"))
+    inc01 = sorted(map(tuple, cat.read_increment("t", s0, s1).collect()))
+    assert inc01 == [(2, "b"), (3, "c")]  # duplicate (2,b) IS an append
+    inc02 = sorted(map(tuple, cat.read_increment("t", s0, s2).collect()))
+    assert inc02 == [(2, "b"), (3, "c"), (4, "d")]
+    assert cat.read_increment("t", s2).count() == 0  # to=latest default
+
+
+def test_iceberg_incremental_read_seam(tmp_path):
+    from ner_pytorch_spark.plans.catalog import SnapshotCatalog
+
+    log = []
+    fs = _FakeSpark(log, tables={"local.kg.t"}, confs=ICEBERG_CONF)
+    cat = SnapshotCatalog(fs, str(tmp_path), use_iceberg=True)
+    cat.read_increment("t", 10, 20)
+    assert any(n == "read.option" and a == ("start-snapshot-id", 10)
+               for n, a in log)
+    assert any(n.endswith("option") and a == ("end-snapshot-id", 20)
+               for n, a in log)
+    assert any(n.endswith("table") and a == ("local.kg.t",) for n, a in log)
+
+
 def test_iceberg_requires_catalog_config():
     from ner_pytorch_spark.plans.catalog import SnapshotCatalog
 
