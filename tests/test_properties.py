@@ -98,3 +98,34 @@ def test_simhash_deterministic(tokens):
 
     assert simhash64(tokens) == simhash64(list(tokens))
     assert -(1 << 63) <= simhash64(tokens) < (1 << 63)
+
+
+@given(st.integers(0, 63))
+@settings(max_examples=64, deadline=None)
+def test_chunk_bounds_partition_64_bits(max_hamming):
+    """Pigeonhole blocking chunks: exact disjoint cover of the 64 bits
+    for EVERY threshold (the round-1 bug was a fixed chunk count)."""
+    from ner_pytorch_spark.operators.dedup import _chunk_bounds
+
+    bounds = _chunk_bounds(max_hamming + 1)
+    assert len(bounds) == max_hamming + 1
+    covered = []
+    for lo, width in bounds:
+        assert width >= 1
+        covered.extend(range(lo, lo + width))
+    assert sorted(covered) == list(range(64))
+
+
+@given(st.text(alphabet="abcxyz0 ", min_size=1, max_size=12),
+       st.integers(2, 48))
+@settings(max_examples=60, deadline=None)
+def test_md5_embedder_unit_norm_and_stable(token, dim):
+    import numpy as np
+
+    from ner_pytorch_spark.functions.embeddings import Md5Embedder
+
+    e = Md5Embedder(dim)
+    v = e.vec(token)
+    assert v.shape == (dim,) and v.dtype == np.float32
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    assert np.array_equal(v, Md5Embedder(dim).vec(token))
