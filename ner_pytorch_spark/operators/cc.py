@@ -29,7 +29,10 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-    )
+        # joined EVERY round: without this the whole upstream lineage
+        # (e.g. the tagging/linking UDF chain feeding the edges) re-runs
+        # per iteration — measured 3x on the canonicalization tail
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
