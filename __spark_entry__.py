@@ -565,34 +565,7 @@ def q_kg_trained_prf(spark, sf_dir):
                                                    train_crf_head)
     from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
 
-    pages_rows, gold_mentions, _ = datagen.generate_pages(200)
-    gold: dict[tuple, tuple] = {}
-    idx: dict[str, int] = {}
-    for i, p in enumerate(pages_rows):
-        if p["lang"] != "en":
-            continue
-        idx[p["url"]] = i
-        for sid, line in enumerate(p["text"].split("\n")):
-            toks = line.split()
-            if toks:
-                gold[(p["url"], sid)] = (toks, ["O"] * len(toks))
-    for m in gold_mentions:
-        entry = gold.get((m["url"], m["sent_id"]))
-        if entry is None:
-            continue
-        _, tags = entry
-        s, e, tt = m["start"], m["end"], m["tag_type"]
-        if e - s == 1:
-            tags[s] = f"S-{tt}"
-        else:
-            tags[s] = f"B-{tt}"
-            for i in range(s + 1, e - 1):
-                tags[i] = f"I-{tt}"
-            tags[e - 1] = f"E-{tt}"
-    sents = spark.createDataFrame(
-        [(u, idx[u], sid, toks, tags) for (u, sid), (toks, tags) in gold.items()],
-        "url string, page_idx int, sent_id int, tokens array<string>, "
-        "gold_tags array<string>")
+    sents = datagen.gold_sentences_dataframe(spark, 200)
     train = sents.filter(F.col("page_idx") < 150)
     test = sents.filter(F.col("page_idx") >= 150)
     v, cv = build_vocab(train, min_count=1), char_vocab(train)
@@ -699,6 +672,59 @@ walk(url, sent_id, i, m_start, m_len, m_type, m_surface) AS (
 matches AS (
   SELECT url, sent_id, m_start, m_len, m_type, m_surface
   FROM walk WHERE m_start IS NOT NULL)"""
+
+
+# Shared CTE continuation (appended after _KG_MENTIONS_CTE): mention
+# rows, the md5-embedder alias bank, token vectors, pooled surfaces and
+# per-(mention, same-type alias) cosine ranking keys — ends in
+# `lscores(url, sent_id, mention_id, surface, tag_type,
+# candidate_surface, canonical_id, key)`.
+_KG_LINK_SCORES_CTE = """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_type AS tag_type, m_surface AS surface
+  FROM matches),
+abank(surface, tag_type, canonical_id) AS (
+  SELECT * FROM (VALUES
+    ('spark','ORG',CAST(0 AS BIGINT)),('flink','ORG',1),('trino','ORG',2),('duckdb','ORG',3),
+    ('hash join','MISC',100),('merge join','MISC',101),('sort merge','MISC',102),
+    ('hash agg','MISC',103),('window','MISC',104),('rollup','MISC',105),
+    ('table','LOC',200),('partition','LOC',201),('bucket','LOC',202),
+    ('customer','PER',300),('supplier','PER',301)) v),
+surfs AS (
+  SELECT surface FROM ments UNION SELECT surface FROM abank),
+stoks AS (
+  SELECT surface, unnest(string_split(surface, ' ')) AS token FROM surfs),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS i),
+tvec0 AS (
+  SELECT token, i,
+         md5_number_upper(concat('emb:', token, ':', i))
+           / 18446744073709551616.0 * 2 - 1 AS v
+  FROM (SELECT DISTINCT token FROM stoks) CROSS JOIN dims),
+tvec AS (
+  SELECT t.token, t.i, t.v / n.nrm AS v
+  FROM tvec0 t JOIN (SELECT token, sqrt(sum(v * v)) AS nrm
+                     FROM tvec0 GROUP BY token) n USING (token)),
+pooled AS (
+  SELECT s.surface, v.i, avg(v.v) AS p
+  FROM stoks s JOIN tvec v USING (token) GROUP BY 1, 2),
+anorm AS (
+  SELECT a.surface, sqrt(sum(p.p * p.p)) AS nrm
+  FROM abank a JOIN pooled p USING (surface) GROUP BY 1),
+lscores AS (
+  SELECT m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
+         a.surface AS candidate_surface, a.canonical_id,
+         sum(pm.p * pa.p) / any_value(an.nrm) AS key
+  FROM ments m
+  JOIN abank a ON a.tag_type = m.tag_type
+  JOIN pooled pm ON pm.surface = m.surface
+  JOIN pooled pa ON pa.surface = a.surface AND pa.i = pm.i
+  JOIN anorm an ON an.surface = a.surface
+  GROUP BY m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
+           a.surface, a.canonical_id)"""
+
 
 _SHINGLES_2 = (
     "WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),\n"
@@ -1107,105 +1133,19 @@ SELECT url, sent_id, start, n, phrase, paraphrase FROM (
         # cosine RANKING (q-norm cancels within a mention; alias norm
         # kept), tie-break (score desc, candidate_surface asc) = the
         # alias bank's surface-sorted index order
-        "kg_candidate_links": _KG_MENTIONS_CTE + """,
-ments AS (
-  SELECT url, CAST(sent_id AS INT) AS sent_id,
-         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
-           AS mention_id,
-         m_type AS tag_type, m_surface AS surface
-  FROM matches),
-abank(surface, tag_type, canonical_id) AS (
-  SELECT * FROM (VALUES
-    ('spark','ORG',CAST(0 AS BIGINT)),('flink','ORG',1),('trino','ORG',2),('duckdb','ORG',3),
-    ('hash join','MISC',100),('merge join','MISC',101),('sort merge','MISC',102),
-    ('hash agg','MISC',103),('window','MISC',104),('rollup','MISC',105),
-    ('table','LOC',200),('partition','LOC',201),('bucket','LOC',202),
-    ('customer','PER',300),('supplier','PER',301)) v),
-surfs AS (
-  SELECT surface FROM ments UNION SELECT surface FROM abank),
-stoks AS (
-  SELECT surface, unnest(string_split(surface, ' ')) AS token FROM surfs),
-dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS i),
-tvec0 AS (
-  SELECT token, i,
-         md5_number_upper(concat('emb:', token, ':', i))
-           / 18446744073709551616.0 * 2 - 1 AS v
-  FROM (SELECT DISTINCT token FROM stoks) CROSS JOIN dims),
-tvec AS (
-  SELECT t.token, t.i, t.v / n.nrm AS v
-  FROM tvec0 t JOIN (SELECT token, sqrt(sum(v * v)) AS nrm
-                     FROM tvec0 GROUP BY token) n USING (token)),
-pooled AS (
-  SELECT s.surface, v.i, avg(v.v) AS p
-  FROM stoks s JOIN tvec v USING (token) GROUP BY 1, 2),
-anorm AS (
-  SELECT a.surface, sqrt(sum(p.p * p.p)) AS nrm
-  FROM abank a JOIN pooled p USING (surface) GROUP BY 1),
-scores AS (
-  SELECT m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
-         a.surface AS candidate_surface, a.canonical_id,
-         sum(pm.p * pa.p) / any_value(an.nrm) AS key
-  FROM ments m
-  JOIN abank a ON a.tag_type = m.tag_type
-  JOIN pooled pm ON pm.surface = m.surface
-  JOIN pooled pa ON pa.surface = a.surface AND pa.i = pm.i
-  JOIN anorm an ON an.surface = a.surface
-  GROUP BY m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
-           a.surface, a.canonical_id)
+        "kg_candidate_links": _KG_MENTIONS_CTE + _KG_LINK_SCORES_CTE + """
 SELECT url, sent_id, mention_id, surface, tag_type,
        CAST(rn - 1 AS INT) AS rank, candidate_surface, canonical_id
 FROM (
   SELECT *, row_number() OVER (PARTITION BY url, sent_id, mention_id
                                ORDER BY key DESC, candidate_surface) AS rn
-  FROM scores)
+  FROM lscores)
 WHERE rn <= 3""",
         # full canonicalization-tail oracle: top-1 links from the
         # md5-embedder ranking, surface-canonical bipartite edges,
         # recursive reachability closure (connected components), then
         # deterministic per-canonical aggregates
-        "kg_entity_nodes_checked": _KG_MENTIONS_CTE + """,
-ments AS (
-  SELECT url, CAST(sent_id AS INT) AS sent_id,
-         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
-           AS mention_id,
-         m_type AS tag_type, m_surface AS surface
-  FROM matches),
-abank(surface, tag_type, canonical_id) AS (
-  SELECT * FROM (VALUES
-    ('spark','ORG',CAST(0 AS BIGINT)),('flink','ORG',1),('trino','ORG',2),('duckdb','ORG',3),
-    ('hash join','MISC',100),('merge join','MISC',101),('sort merge','MISC',102),
-    ('hash agg','MISC',103),('window','MISC',104),('rollup','MISC',105),
-    ('table','LOC',200),('partition','LOC',201),('bucket','LOC',202),
-    ('customer','PER',300),('supplier','PER',301)) v),
-surfs AS (SELECT surface FROM ments UNION SELECT surface FROM abank),
-stoks AS (SELECT surface, unnest(string_split(surface, ' ')) AS token FROM surfs),
-dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS i),
-tvec0 AS (
-  SELECT token, i,
-         md5_number_upper(concat('emb:', token, ':', i))
-           / 18446744073709551616.0 * 2 - 1 AS v
-  FROM (SELECT DISTINCT token FROM stoks) CROSS JOIN dims),
-tvec AS (
-  SELECT t.token, t.i, t.v / n.nrm AS v
-  FROM tvec0 t JOIN (SELECT token, sqrt(sum(v * v)) AS nrm
-                     FROM tvec0 GROUP BY token) n USING (token)),
-pooled AS (
-  SELECT s.surface, v.i, avg(v.v) AS p
-  FROM stoks s JOIN tvec v USING (token) GROUP BY 1, 2),
-anorm AS (
-  SELECT a.surface, sqrt(sum(p.p * p.p)) AS nrm
-  FROM abank a JOIN pooled p USING (surface) GROUP BY 1),
-lscores AS (
-  SELECT m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
-         a.surface AS candidate_surface, a.canonical_id,
-         sum(pm.p * pa.p) / any_value(an.nrm) AS key
-  FROM ments m
-  JOIN abank a ON a.tag_type = m.tag_type
-  JOIN pooled pm ON pm.surface = m.surface
-  JOIN pooled pa ON pa.surface = a.surface AND pa.i = pm.i
-  JOIN anorm an ON an.surface = a.surface
-  GROUP BY m.url, m.sent_id, m.mention_id, m.surface, m.tag_type,
-           a.surface, a.canonical_id),
+        "kg_entity_nodes_checked": _KG_MENTIONS_CTE + _KG_LINK_SCORES_CTE + """,
 links AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY url, sent_id, mention_id

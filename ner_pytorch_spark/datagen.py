@@ -372,6 +372,42 @@ def alias_rows(dim: int = EMB_DIM) -> list[dict]:
     return rows
 
 
+def gold_sentences_dataframe(spark, n_pages: int, seed: int = SEED,
+                             arc_frac: float = 0.0):
+    """(url, page_idx, sent_id, tokens, gold_tags) for en pages — gold
+    IOBES tags assembled from the by-construction mentions. The shared
+    input of the trainer tests and the kg_trained_prf driver query."""
+    pages_rows, gold_mentions, _ = generate_pages(n_pages, seed, arc_frac)
+    gold: dict[tuple, tuple] = {}
+    idx: dict[str, int] = {}
+    for i, p in enumerate(pages_rows):
+        if p["lang"] != "en":
+            continue
+        idx[p["url"]] = i
+        for sid, line in enumerate(p["text"].split("\n")):
+            toks = line.split()
+            if toks:
+                gold[(p["url"], sid)] = (toks, ["O"] * len(toks))
+    for m in gold_mentions:
+        entry = gold.get((m["url"], m["sent_id"]))
+        if entry is None:
+            continue
+        _, tags = entry
+        s, e, tt = m["start"], m["end"], m["tag_type"]
+        if e - s == 1:
+            tags[s] = f"S-{tt}"
+        else:
+            tags[s] = f"B-{tt}"
+            for i in range(s + 1, e - 1):
+                tags[i] = f"I-{tt}"
+            tags[e - 1] = f"E-{tt}"
+    rows = [(u, idx[u], sid, toks, tags)
+            for (u, sid), (toks, tags) in gold.items()]
+    return spark.createDataFrame(
+        rows, "url string, page_idx int, sent_id int, "
+              "tokens array<string>, gold_tags array<string>")
+
+
 PAGES_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
                     "text string, lang string")
 

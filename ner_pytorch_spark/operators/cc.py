@@ -117,11 +117,13 @@ def connected_components_star(
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
     )
-    all_nodes = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select("v")).distinct()
-    ).localCheckpoint()
+    # checkpoint FIRST, derive all_nodes from the checkpointed set — the
+    # upstream lineage (possibly a whole UDF pipeline) runs exactly once
     cur = _ckpt(und)
+    all_nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select("v")).distinct()
+    ).localCheckpoint()
 
     def _large_star(pairs: DataFrame) -> DataFrame:
         # per node u over the FULL neighborhood: m = min(Γ(u) ∪ {u});
@@ -172,8 +174,14 @@ def connected_components_star(
             break
         fp = new_fp
     # fixed point: every edge is (node, component-min); roots and
-    # isolated-in-star nodes label themselves
-    child = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # isolated-in-star nodes label themselves. The min-aggregate keeps
+    # the one-row-per-node contract even if max_iter exhausted before
+    # the star fixed point (labels then merely unconverged, like
+    # label propagation's, never duplicated/conflicting).
+    child = (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .groupBy("node").agg(F.min("component").alias("component"))
+    )
     roots = (
         all_nodes.join(child.select("node"), on="node", how="left_anti")
         .withColumn("component", F.col("node"))

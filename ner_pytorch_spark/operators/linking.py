@@ -86,6 +86,19 @@ def _default_embedder(dim: int = 32):
     return HashEmbedder(dim)
 
 
+def _resolve_alias_embedder(aliases, pooling, embedder, fallback):
+    """Alias-side embedding source, shared by both linking operators:
+    an explicit provider wins; otherwise precomputed ``emb_<pooling>``
+    columns are used when present, else the query-side fallback (the two
+    sides must share one embedding space). Empty alias lists resolve to
+    None (build_alias_index returns an empty index)."""
+    if embedder is not None:
+        return embedder
+    if aliases and f"emb_{pooling}" not in aliases[0]:
+        return fallback
+    return None
+
+
 _CAND_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("sent_id", IntegerType()),
@@ -113,14 +126,19 @@ def _emit_topk(out_rows: dict, grp, scores: np.ndarray, entry: dict,
     mention below k candidates.
     """
     surfs, ids = entry["surfaces"], entry["ids"]
+    # round-then-widen-ties, like broadcast_topk: rank by the ROUNDED
+    # score (the oracle's comparison key) and include every candidate
+    # tied with the kk-th so exact ties never get cut arbitrarily
+    scores = np.round(scores, 6)
     kk = min(k + (entry["max_dup"] if drop_self else 0), scores.shape[1])
-    top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
     urls = grp["url"].tolist()
     sids = grp["sent_id"].tolist()
     mids = grp["mention_id"].tolist()
     msurfs = grp["surface"].tolist()
     for row_pos in range(scores.shape[0]):
-        cand = top[row_pos]
+        cut = scores[row_pos, part[row_pos]].min()
+        cand = np.flatnonzero(scores[row_pos] >= cut)
         cand = cand[np.lexsort((cand, -scores[row_pos, cand]))]
         msurf = msurfs[row_pos]
         rank = 0
@@ -181,17 +199,10 @@ def candidate_links(
     """
     spark = mentions.sparkSession
     emb = embedder or _default_embedder(emb_dim)
-    # alias side: precomputed emb_<pooling> columns when present and no
-    # explicit provider; otherwise pooled with the SAME provider as the
-    # query side (one shared embedding space)
-    if embedder is not None:
-        alias_emb = embedder
-    elif f"emb_{pooling}" not in aliases[0]:
-        alias_emb = emb
-    else:
-        alias_emb = None
     bc = spark.sparkContext.broadcast({
-        "index": build_alias_index(aliases, pooling, alias_emb),
+        "index": build_alias_index(
+            aliases, pooling, _resolve_alias_embedder(aliases, pooling,
+                                                      embedder, emb)),
         "embedder": emb,
     })
 
@@ -257,14 +268,10 @@ def contextual_candidate_links(
     """
     spark = mentions.sparkSession
     emb = embedder or _default_embedder(emb_dim)
-    if embedder is not None:
-        alias_emb = embedder
-    elif f"emb_{pooling}" not in aliases[0]:
-        alias_emb = emb
-    else:
-        alias_emb = None
     bc = spark.sparkContext.broadcast({
-        "index": build_alias_index(aliases, pooling, alias_emb),
+        "index": build_alias_index(
+            aliases, pooling, _resolve_alias_embedder(aliases, pooling,
+                                                      embedder, emb)),
         "embedder": emb,
     })
 

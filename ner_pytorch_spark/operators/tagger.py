@@ -42,6 +42,12 @@ from .tagset import ENTITY_TYPES, grammar_transitions, iobes_tags
 
 MATCH_SCORE = 10.0
 
+# ASCII file/group/record/unit separators: str.split() whitespace but
+# NOT Java-\s whitespace — pages containing them can't use the fast path
+import re as _re
+
+_FS_SEPS = _re.compile("[\x1c-\x1f]")
+
 
 # ------------------------------------------------------------ sentences
 
@@ -323,14 +329,15 @@ def pages_to_mention_pairs(
         for pdf in batches:
             urls, sids, tok_lists = [], [], []
             for url, text in zip(pdf["url"], pdf["text"]):
-                ascii_text = text.isascii()
+                # tokenization contract = JVM \s+ ([ \t\n\x0B\f\r]). On
+                # plain-ASCII text str.split() is identical and ~3×
+                # faster (the hot path) — EXCEPT the ASCII separators
+                # \x1c-\x1f, which str.split() treats as whitespace and
+                # Java \s does not, so those pages (and non-ASCII ones,
+                # U+00A0 etc.) take the pinned ASCII-class regex.
+                fast = text.isascii() and _FS_SEPS.search(text) is None
                 for sent_id, line in enumerate(text.split("\n")):
-                    # tokenization contract = JVM \s+ (ASCII-only). On
-                    # ASCII lines str.split() is identical and ~3× faster
-                    # (the hot path); non-ASCII lines go through the
-                    # pinned ASCII-class regex so U+00A0/U+2009 never
-                    # split here when the staged path keeps them intact.
-                    toks = line.split() if ascii_text else py_tokenize_ws(line)
+                    toks = line.split() if fast else py_tokenize_ws(line)
                     if toks:
                         urls.append(url)
                         sids.append(sent_id)

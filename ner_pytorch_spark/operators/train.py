@@ -176,7 +176,10 @@ def train_crf_head(
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             v = bc.value
-            pdf = pd.concat(list(batches), ignore_index=True)
+            lst = list(batches)
+            if not lst:  # empty partitions get an EMPTY iterator —
+                return   # pd.concat([]) would raise
+            pdf = pd.concat(lst, ignore_index=True)
             if len(pdf) == 0:
                 return
             n, m, d_w, d_b, d_t = _local_perceptron(

@@ -78,14 +78,27 @@ def sentence_local_triples(
     if verb_lexicon:
         result = _layer_verb_arcs(result, tagged, verb_lexicon, out_cols)
     if cooccurrence_window is not None:
-        coocc = (
-            pairs.join(F.broadcast(lex), on="between", how="left_anti")
-            .filter(F.col("gap_end") - F.col("gap_start") <= cooccurrence_window)
-            .withColumn("pred", F.lit("cooccurs_with"))
-            .select(*out_cols)
-        )
-        result = result.unionByName(coocc)
+        result = result.unionByName(
+            _cooccurrence_fallback(pairs, result, cooccurrence_window,
+                                   out_cols))
     return result
+
+
+_PAIR_KEYS = ["url", "sent_id", "subj_mention_id", "obj_mention_id"]
+
+
+def _cooccurrence_fallback(pairs: DataFrame, claimed: DataFrame,
+                           window: int, out_cols: list[str]) -> DataFrame:
+    """cooccurs_with rows for in-window pairs NO other layer claimed —
+    anti-join on the pair keys against everything already emitted
+    (pattern AND verb-arc), not just the pattern lexicon, so one
+    relation never yields a duplicate co-occurrence edge."""
+    return (
+        pairs.join(claimed.select(*_PAIR_KEYS), on=_PAIR_KEYS, how="left_anti")
+        .filter(F.col("gap_end") - F.col("gap_start") <= window)
+        .withColumn("pred", F.lit("cooccurs_with"))
+        .select(*out_cols)
+    )
 
 
 def verb_arc_triples(tagged: DataFrame,
@@ -238,13 +251,9 @@ def extract_triples(
     if verb_lexicon:
         result = _layer_verb_arcs(result, tagged, verb_lexicon, out_cols)
     if cooccurrence_window is not None:
-        coocc = (
-            pairs.join(F.broadcast(lex), on="between", how="left_anti")
-            .filter(F.col("gap_end") - F.col("gap_start") <= cooccurrence_window)
-            .withColumn("pred", F.lit("cooccurs_with"))
-            .select(*out_cols)
-        )
-        result = result.unionByName(coocc)
+        result = result.unionByName(
+            _cooccurrence_fallback(pairs, result, cooccurrence_window,
+                                   out_cols))
     return result
 
 

@@ -104,3 +104,28 @@ def test_alias_bank_stable():
     r0 = rows[0]
     again = datagen.alias_rows()[0]
     assert r0["emb_mean"] == again["emb_mean"]
+
+
+def test_cooccurrence_excludes_arc_claimed_pairs(spark):
+    """A pair claimed by the verb-arc layer must NOT also emit a
+    cooccurs_with fallback row (one relation, one edge)."""
+    from ner_pytorch_spark.operators.triples import extract_triples
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages = datagen.pages_dataframe(spark, 80, arc_frac=0.9)
+    aliases = datagen.alias_rows()
+    tagged = tag_sentences(sentences_table(pages), mode="gazetteer",
+                           aliases=aliases).persist()
+    mentions = mentions_table(tagged)
+    trips = extract_triples(mentions, tagged, datagen.PREDICATE_LEXICON,
+                            cooccurrence_window=50,
+                            verb_lexicon=datagen.VERB_ARC_LEXICON).collect()
+    keys = {}
+    for t in trips:
+        keys.setdefault((t.url, t.sent_id, t.subj_mention_id,
+                         t.obj_mention_id), []).append(t.pred)
+    dup = {k: v for k, v in keys.items() if len(v) > 1}
+    assert not dup, f"pairs with multiple triples: {list(dup.items())[:3]}"
+    assert any(v != ["cooccurs_with"] for v in keys.values())
+    tagged.unpersist()

@@ -199,3 +199,13 @@ def test_contextual_linking(spark):
                for r in plain.collect()}
     common = set(s_ctx) & set(s_plain)
     assert any(abs(s_ctx[k] - s_plain[k]) > 1e-6 for k in common)
+
+
+def test_linking_empty_alias_bank(spark):
+    """An empty alias list yields zero candidates, not an IndexError."""
+    from ner_pytorch_spark.operators.linking import candidate_links
+
+    mentions = spark.createDataFrame(
+        [("u", 0, 0, "acme", "ORG")],
+        "url string, sent_id int, mention_id int, surface string, tag_type string")
+    assert candidate_links(mentions, [], k=3).count() == 0

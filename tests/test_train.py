@@ -9,37 +9,7 @@ from ner_pytorch_spark import datagen
 
 
 def _gold_sentences(spark, n_pages: int):
-    """(url, page_idx, sent_id, tokens, gold_tags) for en pages, gold
-    IOBES tags built from datagen's by-construction mentions."""
-    pages_rows, gold_mentions, _ = datagen.generate_pages(n_pages)
-    gold: dict[tuple, list] = {}
-    idx: dict[str, int] = {}
-    for i, p in enumerate(pages_rows):
-        if p["lang"] != "en":
-            continue
-        idx[p["url"]] = i
-        for sid, line in enumerate(p["text"].split("\n")):
-            toks = line.split()
-            if toks:
-                gold[(p["url"], sid)] = (toks, ["O"] * len(toks))
-    for m in gold_mentions:
-        entry = gold.get((m["url"], m["sent_id"]))
-        if entry is None:
-            continue
-        _, tags = entry
-        s, e, tt = m["start"], m["end"], m["tag_type"]
-        if e - s == 1:
-            tags[s] = f"S-{tt}"
-        else:
-            tags[s] = f"B-{tt}"
-            for i in range(s + 1, e - 1):
-                tags[i] = f"I-{tt}"
-            tags[e - 1] = f"E-{tt}"
-    rows = [(u, idx[u], sid, toks, tags)
-            for (u, sid), (toks, tags) in gold.items()]
-    return spark.createDataFrame(
-        rows, "url string, page_idx int, sent_id int, "
-              "tokens array<string>, gold_tags array<string>")
+    return datagen.gold_sentences_dataframe(spark, n_pages)
 
 
 @pytest.fixture(scope="module")
@@ -114,3 +84,20 @@ def test_trained_checkpoint_roundtrip(spark, tmp_path, trained_bundle):
          for r in tag_sentences(sample, mode="neural", weights=loaded,
                                 vocab=t2i, char_vocab=c2i).collect()}
     assert a == b
+
+
+def test_train_tolerates_empty_partitions(spark):
+    """mapInPandas hands empty partitions an EMPTY batch iterator —
+    training must not crash on them (more partitions than rows)."""
+    from ner_pytorch_spark.operators.train import (reservoir_weights,
+                                                   train_crf_head)
+
+    sents = _gold_sentences(spark, 6).limit(3).repartition(16)
+    toks = [t for r in sents.select("tokens").collect() for t in r.tokens]
+    vocab = {t.lower(): i + 1 for i, t in enumerate(dict.fromkeys(toks))}
+    vocab["<UNK>"] = 0
+    chars = {c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz .,0'-ABCDE")}
+    w0 = reservoir_weights(len(vocab) + 1, len(chars), hidden=12,
+                           word_dim=8, seed=3)
+    trained, metrics = train_crf_head(sents, w0, vocab, chars, epochs=1)
+    assert metrics and metrics[0]["n_sentences"] == 3
