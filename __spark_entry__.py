@@ -350,6 +350,15 @@ def q_paraphrase_ngram(spark, sf_dir):
     return paraphrase_ngram_lookup(sents, ppdb, max_n=2)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Oracle-checked KMV distinct-count sketch (k=8): 60-bit md5-prefix
+    hashing makes the estimates bit-identical across engines; docs with
+    < k distinct tokens report exact counts."""
+    from ner_pytorch_spark.operators.textstats import kmv_distinct_tokens
+
+    return kmv_distinct_tokens(_read(spark, sf_dir, "documents"), k=8)
+
+
 def q_doc_components(spark, sf_dir):
     """Connected components over near-dup edges (unigram jaccard ≥ 0.62)."""
     from ner_pytorch_spark.operators.cc import connected_components
@@ -609,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_components": q_doc_components,
         "paraphrase_ngram": q_paraphrase_ngram,
+        "kmv_distinct": q_kmv_distinct,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -1108,6 +1118,24 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        # KMV sketch: 60-bit hash = first 15 md5 hex chars, parsed with
+        # CAST('0x…' AS BIGINT) (== Spark conv(substr(md5,1,15),16,10));
+        # estimate (k-1)*16^15/u_k, exact when n < k
+        "kmv_distinct": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS token FROM documents),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS u
+  FROM toks),
+ranked AS (
+  SELECT doc_id, u, row_number() OVER (PARTITION BY doc_id ORDER BY u) AS rn
+  FROM hashed),
+kth AS (SELECT doc_id, u AS u_k FROM ranked WHERE rn = 8),
+counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1)
+SELECT c.doc_id,
+       round(CASE WHEN k.u_k IS NULL THEN CAST(c.n AS DOUBLE)
+                  ELSE 8070450532247928832.0 / k.u_k END, 6) AS n_distinct_est
+FROM counts c LEFT JOIN kth k USING (doc_id)""",
         "paraphrase_ngram": f"""
 WITH edges(phrase, paraphrase) AS (SELECT * FROM (VALUES {", ".join(
             f"('{p}','{q}')" for p, q in _PPDB_EDGES)}) v),

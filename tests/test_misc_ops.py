@@ -82,3 +82,35 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_kmv_sketch_accuracy_and_exactness(spark):
+    """KMV distinct estimate: exact below k; within ~3/sqrt(k) relative
+    error above k (deterministic md5 hashing, so the bound is a fixed
+    fact of this corpus, not a flaky probabilistic assertion)."""
+    import numpy as np
+
+    from ner_pytorch_spark.operators.textstats import kmv_distinct_tokens
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    rows = []
+    for d in range(20):
+        n = int(rng.integers(5, 2000))
+        rows.append((d, " ".join(rng.choice(vocab, size=n, replace=True))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {d: len(set(t.split())) for d, t in rows}
+    k = 64
+    est = {r.doc_id: r.n_distinct_est
+           for r in kmv_distinct_tokens(docs, k=k).collect()}
+    for d, n in exact.items():
+        if n < k:
+            assert est[d] == float(n), (d, est[d], n)
+        else:
+            assert abs(est[d] - n) / n < 3 / np.sqrt(k), (d, est[d], n)
+
+    # mergeability: the corpus-wide sketch equals the estimate computed
+    # from the union of per-doc hash minima (one global row)
+    glob = kmv_distinct_tokens(docs, k=k, per_doc=False).first()
+    all_exact = len({t for _, txt in rows for t in txt.split()})
+    assert abs(glob.n_distinct_est - all_exact) / all_exact < 3 / np.sqrt(k)
