@@ -350,6 +350,31 @@ def q_paraphrase_ngram(spark, sf_dir):
     return paraphrase_ngram_lookup(sents, ppdb, max_n=2)
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "dev": 0.1, "test": 0.1}
+
+
+def _split_thresholds() -> tuple[int, int]:
+    """The exact integer hash thresholds hash_split computes for
+    _SPLIT_WEIGHTS — mirrored into the oracle so both engines gate on
+    identical literals."""
+    space = 16 ** 15
+    lo = 0.8
+    t1 = int(lo * space)
+    lo += 0.1
+    t2 = int(lo * space)
+    return t1, t2
+
+
+def q_hash_split(spark, sf_dir):
+    """Oracle-checked deterministic train/dev/test assignment: split
+    label = md5-hash range of the key — stable under any partitioning,
+    any engine, any cluster (the reproducible-corpus-split idiom)."""
+    from ner_pytorch_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Oracle-checked KMV distinct-count sketch (k=8): 60-bit md5-prefix
     hashing makes the estimates bit-identical across engines; docs with
@@ -619,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_components": q_doc_components,
         "paraphrase_ngram": q_paraphrase_ngram,
         "kmv_distinct": q_kmv_distinct,
+        "hash_split": q_hash_split,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -1118,6 +1144,14 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        "hash_split": f"""
+SELECT doc_id,
+       CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < {_split_thresholds()[0]} THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < {_split_thresholds()[1]} THEN 'dev'
+            ELSE 'test' END AS split
+FROM documents""",
         # KMV sketch: 60-bit hash = first 15 md5 hex chars, parsed with
         # CAST('0x…' AS BIGINT) (== Spark conv(substr(md5,1,15),16,10));
         # estimate (k-1)*16^15/u_k, exact when n < k

@@ -114,3 +114,35 @@ def test_kmv_sketch_accuracy_and_exactness(spark):
     glob = kmv_distinct_tokens(docs, k=k, per_doc=False).first()
     all_exact = len({t for _, txt in rows for t in txt.split()})
     assert abs(glob.n_distinct_est - all_exact) / all_exact < 3 / np.sqrt(k)
+
+
+def test_hash_sampling_stable_and_consistent(spark):
+    """Deterministic hash sampling: identical subset under different
+    partitionings, fraction within tolerance, salt derives an
+    independent subset; hash_split partitions exactly with ~requested
+    proportions and agrees with deterministic_sample gating."""
+    from ner_pytorch_spark.operators.sampling import (deterministic_sample,
+                                                      hash_split)
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in deterministic_sample(df, "k", 0.2).collect()}
+    b = {r.k for r in deterministic_sample(df.repartition(17), "k", 0.2).collect()}
+    assert a == b                      # partitioning-invariant
+    assert abs(len(a) / 5000 - 0.2) < 0.03
+    salted = {r.k for r in deterministic_sample(df, "k", 0.2, salt="s1").collect()}
+    assert salted != a                 # independent draw
+    # nested property: a 0.1 sample is a SUBSET of the 0.2 sample
+    small = {r.k for r in deterministic_sample(df, "k", 0.1).collect()}
+    assert small <= a
+
+    from pyspark.sql import functions as F
+
+    splits = hash_split(df, "k", {"train": 0.8, "dev": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "dev", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    # split assignment is a pure function of the key
+    again = hash_split(df.repartition(5), "k", {"train": 0.8, "dev": 0.1,
+                                                "test": 0.1})
+    assert sorted(map(tuple, splits.collect())) == sorted(map(tuple, again.collect()))
