@@ -401,6 +401,36 @@ def q_doc_components(spark, sf_dir):
 # ------------------------------------------------ KG pipeline (rows-only)
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Oracle-checked corpus-hygiene COMPOSITION — the cleanup a
+    training-data pipeline actually runs, chaining the individually
+    checked operators: predicted-English only, quality ≥ 0.5, exact
+    duplicates collapsed to the min-id canonical, near-duplicates
+    (bigram Jaccard ≥ 0.5) keep the smaller id. Output: surviving
+    (doc_id, quality)."""
+    from ner_pytorch_spark.operators.dedup import (exact_duplicates,
+                                                   ngram_jaccard_pairs)
+    from ner_pytorch_spark.operators.textstats import (language_id,
+                                                       quality_scores)
+
+    docs = _read(spark, sf_dir, "documents")
+    lang = language_id(docs).filter(F.col("pred_lang") == "en").select("doc_id")
+    qual = (quality_scores(docs).filter(F.col("quality") >= 0.5)
+            .select("doc_id", "quality"))
+    exact_drop = (exact_duplicates(docs)
+                  .select(F.explode("dup_ids").alias("doc_id"),
+                          "canonical_id")
+                  .filter(F.col("doc_id") != F.col("canonical_id"))
+                  .select("doc_id"))
+    near_drop = (ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+                 .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (
+        qual.join(lang, on="doc_id")
+        .join(exact_drop, on="doc_id", how="left_anti")
+        .join(near_drop, on="doc_id", how="left_anti")
+    )
+
+
 def q_kg_mentions(spark, sf_dir):
     from ner_pytorch_spark.operators.spans import mentions_table
     from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
@@ -645,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paraphrase_ngram": q_paraphrase_ngram,
         "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
+        "corpus_clean": q_corpus_clean,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -804,7 +835,7 @@ _COSINE_PAIRS = (
 
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_SQL
-    return {
+    out = {
         "vocab_topk": f"""
 WITH toks AS (
   SELECT unnest({toks}) AS token FROM documents),
@@ -1245,3 +1276,20 @@ reach AS (
   SELECT * FROM r)
 SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""",
     }
+    # hygiene COMPOSITION: the individually checked language/quality/
+    # dedup oracles chained exactly like q_corpus_clean chains the
+    # operators (nested WITH inside a CTE is valid DuckDB)
+    out["corpus_clean"] = f"""
+WITH lang AS ({out['language_id']}),
+qual AS ({out['quality_scores']}),
+exact_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents) WHERE doc_id <> canon),
+near AS ({_jaccard_sql(2, 0.5)})
+SELECT q.doc_id, q.quality
+FROM qual q JOIN lang l ON l.doc_id = q.doc_id AND l.pred_lang = 'en'
+WHERE q.quality >= 0.5
+  AND q.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND q.doc_id NOT IN (SELECT doc_b FROM near)"""
+    return out
