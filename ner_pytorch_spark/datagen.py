@@ -408,6 +408,127 @@ def gold_sentences_dataframe(spark, n_pages: int, seed: int = SEED,
               "tokens array<string>, gold_tags array<string>")
 
 
+# ------------------------------------------------- adversarial corpus
+# Hardened held-out gate for in-engine training (kg_trained_prf): a
+# gazetteer echo scores ~0 here — the tag depends on CONTEXT (ambiguous
+# surfaces), on char/cap generalization (OOV test-only names), and on
+# boundary discipline (adjacent same-type mentions).
+
+# surfaces that are PER in person contexts and LOC in place contexts —
+# membership alone cannot resolve them
+AMBIGUOUS_SURFACES = ["Lincoln", "Madison", "Jordan",
+                      "Hamilton", "Victoria", "Chester"]
+# PER surfaces that appear ONLY on pages >= oov_from (held-out split).
+# First half: unseen first name + TRAINED surname (realistic OOV — the
+# tagger must compose cap/char generalization on the new token with the
+# known tail); second half: fully unseen names, the hard tail where only
+# capitalization + context carry signal (a frozen random char encoder
+# has no name-shape features — the reference's trained char-LSTM would;
+# documented encoder gap).
+OOV_PER_SURFACES = ["Lisa Johnson", "Marco Rossi", "Priya Miller",
+                    "Tomas Garcia", "Nadia Smith", "Oliver Tanaka",
+                    "Zara Okafor", "Henrik Vestergaard", "Noor Rahimi",
+                    "Aiko Fujimori", "Dmitri Volkov", "Keanu Ramos"]
+
+_AMBIG_PER_CTX = [
+    (("",), ("spoke", "at", "the", "conference", ".")),
+    (("",), ("signed", "the", "agreement", "on", "Monday", ".")),
+]
+_AMBIG_LOC_CTX = [
+    (("The", "town", "of"), ("hosted", "a", "festival", ".")),
+    (("He", "moved", "to"), ("last", "year", ".")),
+]
+
+
+def _adv_sentence(rng: np.random.Generator, ents_by_type, oov: bool):
+    """One adversarial sentence → (tokens, [(start, end, type)])."""
+    kind = int(rng.integers(0, 4))
+    toks: list[str] = []
+    ments: list[tuple[int, int, str]] = []
+
+    def put(surface: str, tt: str):
+        st = surface.split(" ")
+        ments.append((len(toks), len(toks) + len(st), tt))
+        toks.extend(st)
+
+    if kind == 0:           # ambiguous surface, context decides the type
+        surf = _pick(rng, AMBIGUOUS_SURFACES)
+        if rng.random() < 0.5:
+            pre, post = _pick(rng, _AMBIG_PER_CTX)
+            tt = "PER"
+        else:
+            pre, post = _pick(rng, _AMBIG_LOC_CTX)
+            tt = "LOC"
+        toks.extend(t for t in pre if t)
+        put(surf, tt)
+        toks.extend(post)
+    elif kind == 1:         # boundary-adjacent same-type mentions
+        if rng.random() < 0.5:
+            a = _pick(rng, OOV_PER_SURFACES) if oov else \
+                _pick(rng, _pick(rng, ents_by_type["PER"]).surfaces)
+            b = _pick(rng, _pick(rng, ents_by_type["PER"]).surfaces)
+            put(a, "PER")
+            put(b, "PER")
+            toks.extend(["met", "in"])
+            put(_pick(rng, _pick(rng, ents_by_type["LOC"]).surfaces), "LOC")
+            toks.append(".")
+        else:
+            put(_pick(rng, _pick(rng, ents_by_type["ORG"]).surfaces), "ORG")
+            put(_pick(rng, _pick(rng, ents_by_type["ORG"]).surfaces), "ORG")
+            toks.extend(["announced", "a", "merger", "."])
+    elif kind == 2 and oov:  # OOV name in a trained context
+        put(_pick(rng, OOV_PER_SURFACES), "PER")
+        toks.extend(["works", "for"])
+        put(_pick(rng, _pick(rng, ents_by_type["ORG"]).surfaces), "ORG")
+        toks.append(".")
+    else:                    # regular template sentence
+        t, ms, _ = _sentence_from_template(rng, ents_by_type)
+        return t, [(s, e, tt) for (s, e, tt, _) in ms]
+    return toks, ments
+
+
+def _iobes(n: int, ments: list[tuple[int, int, str]]) -> list[str]:
+    tags = ["O"] * n
+    for s, e, tt in ments:
+        if e - s == 1:
+            tags[s] = f"S-{tt}"
+        else:
+            tags[s] = f"B-{tt}"
+            for i in range(s + 1, e - 1):
+                tags[i] = f"I-{tt}"
+            tags[e - 1] = f"E-{tt}"
+    return tags
+
+
+def adversarial_sentences_dataframe(spark, n_pages: int, seed: int = SEED,
+                                    oov_from: int | None = None):
+    """(url, page_idx, sent_id, tokens, gold_tags) adversarial corpus.
+
+    Pages with ``page_idx >= oov_from`` (default: last quarter) draw
+    their kind-1/kind-2 person mentions from :data:`OOV_PER_SURFACES`;
+    train on the earlier pages and the held-out block measures genuine
+    generalization, not memorization. Deterministic in (n_pages, seed).
+    """
+    if oov_from is None:
+        oov_from = (3 * n_pages) // 4
+    ents = _ents_by_type()
+    rows = []
+    for i in range(n_pages):
+        rng = np.random.default_rng([seed, 7_000_000 + i])
+        n_sent = int(rng.integers(3, 7))
+        for sid in range(n_sent):
+            if rng.random() < 0.25:
+                toks = _pick(rng, _FILLER).split(" ")
+                ments: list[tuple[int, int, str]] = []
+            else:
+                toks, ments = _adv_sentence(rng, ents, i >= oov_from)
+            rows.append((f"adv://{i}", i, sid, toks,
+                         _iobes(len(toks), ments)))
+    return spark.createDataFrame(
+        rows, "url string, page_idx int, sent_id int, "
+              "tokens array<string>, gold_tags array<string>")
+
+
 PAGES_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
                     "text string, lang string")
 

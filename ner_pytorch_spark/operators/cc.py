@@ -113,17 +113,20 @@ def connected_components_star(
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
     )
     # checkpoint FIRST, derive all_nodes from the checkpointed set — the
-    # upstream lineage (possibly a whole UDF pipeline) runs exactly once
-    cur = _ckpt(und)
+    # upstream lineage (possibly a whole UDF pipeline) runs exactly once.
+    # all_nodes keeps self-loop-only nodes (u == v rows) so the output
+    # contract matches connected_components, which emits (node, node)
+    # for them; only the star iteration drops self-loops.
+    base = _ckpt(und)
     all_nodes = (
-        cur.select(F.col("u").alias("node"))
-        .union(cur.select("v")).distinct()
+        base.select(F.col("u").alias("node"))
+        .union(base.select("v")).distinct()
     ).localCheckpoint()
+    cur = base.filter(F.col("u") != F.col("v"))
 
     def _large_star(pairs: DataFrame) -> DataFrame:
         # per node u over the FULL neighborhood: m = min(Γ(u) ∪ {u});

@@ -249,6 +249,11 @@ class TaggerWeights:
                 for i, part in enumerate(v):
                     flat[f"{name}_{i}"] = part
         flat["char_mode"] = np.array(self.char_mode)
+        # persist the trained flag: an untrained bundle round-tripped
+        # through save/load must keep decoding with the grammar prior
+        # (previously from_npz hardcoded trained=True, silently changing
+        # decode behavior across a save/load of the SAME weights)
+        flat["trained"] = np.array(bool(self.meta.get("trained", False)))
         np.savez(path, **flat)
 
     @staticmethod
@@ -266,11 +271,13 @@ class TaggerWeights:
             cap_emb=z.get("cap_emb"),
             lstm_fw=triple("lstm_fw"), lstm_bw=triple("lstm_bw"),
             proj_w=z["proj_w"], proj_b=z["proj_b"], transitions=z["transitions"],
-            # checkpoint-loaded weights are TRAINED: decode must use the
-            # learned transitions alone (the reference decodes with
-            # learned transitions only, /root/reference/crf.py:91-135) —
-            # the tagger reads this to default the grammar prior OFF
-            meta={"trained": True},
+            # trained flag round-trips from the npz; trained checkpoints
+            # decode with the learned transitions alone (the reference
+            # decodes with learned transitions only,
+            # /root/reference/crf.py:91-135) — the tagger reads this to
+            # default the grammar prior OFF. Legacy npz without the key
+            # are external trained checkpoints → True.
+            meta={"trained": bool(z["trained"]) if "trained" in z else True},
         )
 
 

@@ -140,6 +140,7 @@ def broadcast_topk(
 def ivf_topk(
     embeddings: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the faiss-IVF shape.
 
@@ -152,6 +153,14 @@ def ivf_topk(
     same-cell pairs are scored (equi-join on cell id) and verified with
     exact JVM left-fold cosine. ``n_probe = n_cells`` degenerates to the
     exact answer (tested). Output schema matches :func:`cosine_topk`.
+
+    Skew guard: a data-dependent codebook can dump most of the corpus
+    into one cell, degenerating the candidate equi-join into one giant
+    block. ``max_cell`` bounds it — cells above the cap split into
+    ``ceil(n/max_cell)`` salted sub-cells (index rows hash to one salt,
+    probing queries fan out over all salts of that cell), so the
+    candidate SET is unchanged (tested) but no join block exceeds
+    ~``max_cell`` index rows. ``None`` disables the guard.
     """
     from pyspark.sql.types import ArrayType
 
@@ -193,8 +202,27 @@ def ivf_topk(
     queries = assigned.select(
         F.col("vec_id"), F.col("emb").alias("emb_a"),
         F.explode("probes").alias("cell"))
+    join_keys = ["cell"]
+    if max_cell is not None:
+        # per-cell split factor (n_cells rows → broadcast); hot cells
+        # shard into salted sub-cells, cold cells keep n_splits = 1
+        splits = F.broadcast(
+            assigned.groupBy("cell")
+            .agg(F.ceil(F.count(F.lit(1)) / max_cell).cast("int")
+                 .alias("n_splits"))
+            .withColumn("n_splits", F.greatest(F.lit(1), F.col("n_splits"))))
+        index = index.join(splits, on="cell").select(
+            "cell",
+            F.pmod(F.xxhash64("neighbor_id"), F.col("n_splits")).cast("int")
+            .alias("salt"),
+            "neighbor_id", "emb_b")
+        queries = queries.join(splits, on="cell").select(
+            "vec_id", "emb_a", "cell",
+            F.explode(F.sequence(F.lit(0), F.col("n_splits") - 1))
+            .alias("salt"))
+        join_keys = ["cell", "salt"]
     pairs = (
-        queries.join(index, on="cell")
+        queries.join(index, on=join_keys)
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id", "emb_a", "emb_b")
         .dropDuplicates(["vec_id", "neighbor_id"])

@@ -169,7 +169,7 @@ def document_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def kmv_distinct_tokens(docs: DataFrame, k: int = 32,
                         text_col: str = "text", id_col: str = "doc_id",
-                        per_doc: bool = True) -> DataFrame:
+                        per_doc: bool = True, n_buckets: int = 64) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch over tokens.
 
     The web-scale cardinality sketch done engine-agnostically: hash
@@ -179,9 +179,13 @@ def kmv_distinct_tokens(docs: DataFrame, k: int = 32,
     smallest per group, and estimate |distinct| = (k−1)·2⁶⁰ / u₍ₖ₎;
     groups with fewer than k distinct tokens report the exact count.
     Sketches are MERGEABLE (the k smallest of a union are among the
-    union of the k smallest) — per-partition minima combine into one
-    global estimate without recomputing, the property that makes the
-    sketch usable at 100 TB. Relative error ≈ 1/√k.
+    union of the k smallest) — and the corpus-wide mode IMPLEMENTS the
+    merge: tokens hash-bucket into ``n_buckets`` groups, each bucket
+    keeps its own k minima (row_number window per bucket — bounded,
+    distributed sorts), and the global k-th value is read off the union
+    of the ≤ ``n_buckets·k`` survivors in one tiny final aggregate. No
+    global single-partition window anywhere, the property that makes
+    the sketch usable at 100 TB. Relative error ≈ 1/√k.
 
     ``per_doc=False`` returns a single corpus-wide row
     (doc_id = -1). Output: (doc_id, n_distinct_est double).
@@ -194,10 +198,27 @@ def kmv_distinct_tokens(docs: DataFrame, k: int = 32,
     ).distinct()
     hashed = toks.withColumn(
         "u", F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long"))
-    w = Window.partitionBy("doc_id").orderBy("u")
-    kth = (hashed.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == k)
-           .select("doc_id", F.col("u").alias("u_k")))
+    if per_doc:
+        # documents are bounded → one window partition per doc is fine
+        w = Window.partitionBy("doc_id").orderBy("u")
+        kth = (hashed.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == k)
+               .select("doc_id", F.col("u").alias("u_k")))
+    else:
+        # two-level k-minima merge: the global k smallest are a subset
+        # of the union of per-bucket k smallest (each bucket surrenders
+        # its own minima), so the final sort touches ≤ n_buckets·k rows
+        wb = Window.partitionBy("bucket").orderBy("u")
+        survivors = (
+            hashed.withColumn("bucket", F.pmod(F.col("u"), F.lit(n_buckets)))
+            .withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= k))
+        kth = (
+            survivors.groupBy("doc_id")
+            # F.get is 0-indexed and null-safe: < k survivors → null u_k
+            # → the exact-count branch below (same contract as per-doc)
+            .agg(F.get(F.sort_array(F.collect_list("u")), k - 1).alias("u_k"))
+            .filter(F.col("u_k").isNotNull()))
     counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     scale = float((k - 1) * (16 ** 15))
     return (

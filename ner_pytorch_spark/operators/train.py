@@ -84,14 +84,23 @@ _DELTA_SCHEMA = StructType([
 def _local_perceptron(pdf: pd.DataFrame, weights: TaggerWeights,
                       vocab: dict, chars: dict, unk: int,
                       tag_ids: dict[str, int], lr: float,
-                      seed: int) -> tuple[int, int, np.ndarray, np.ndarray,
-                                          np.ndarray]:
+                      seed: int, unk_dropout: float = 0.0
+                      ) -> tuple[int, int, np.ndarray, np.ndarray,
+                                 np.ndarray]:
     """One local perceptron pass over a partition's sentences.
 
     Returns (n_sentences, n_mistakes, Δproj_w, Δproj_b, Δtrans) relative
     to the incoming weights. Sentence order is shuffled with a seeded rng
     (perceptron updates are order-sensitive; the shuffle is deterministic
-    per (seed, partition content))."""
+    per (seed, partition content)).
+
+    ``unk_dropout``: probability of replacing each word id with <UNK>
+    during training (char/cap features untouched) — the reference's
+    singleton-UNK trick (loader P8 shape) generalized to word dropout.
+    Without it the model NEVER sees the UNK id in training (the vocab
+    covers the train corpus by construction) and held-out OOV tokens
+    hit an input pattern the head has no weights for.
+    """
     from .tagger import featurize_sentence
 
     T = weights.num_tags
@@ -105,12 +114,14 @@ def _local_perceptron(pdf: pd.DataFrame, weights: TaggerWeights,
 
     toks = pdf["tokens"].tolist()
     golds = pdf["gold_tags"].tolist()
-    order = np.random.default_rng(
-        [seed, len(toks)]).permutation(len(toks))
+    rng = np.random.default_rng([seed, len(toks)])
+    order = rng.permutation(len(toks))
     n_mistakes = 0
     for idx in order:
         tokens, gold = list(toks[idx]), list(golds[idx])
         wi, ci, caps = featurize_sentence(tokens, vocab, chars, unk)
+        if unk_dropout:
+            wi = [unk if rng.random() < unk_dropout else i for i in wi]
         h, lengths = hidden_features(weights, [wi], [ci], [caps])
         h0 = h[0, :len(tokens)].astype(np.float64)         # [L, 2H]
         em = (h0 @ w + b)[:, :T]                           # [L, T]
@@ -154,6 +165,8 @@ def train_crf_head(
     lr: float = 0.5,
     entity_types: tuple[str, ...] = ENTITY_TYPES,
     seed: int = 42,
+    average: bool = False,
+    unk_dropout: float = 0.0,
 ) -> tuple[TaggerWeights, list[dict]]:
     """→ (trained TaggerWeights, per-epoch metrics rows).
 
@@ -162,6 +175,13 @@ def train_crf_head(
     head → each partition runs a local perceptron pass → deltas are
     mixed weighted by partition sentence counts → new head. Deterministic
     given (corpus, partitioning, seed).
+
+    ``average=True`` returns the AVERAGED head — the mean of the mixed
+    head over epochs (epoch-level averaged perceptron, Collins 2002 /
+    McDonald et al. 2010 §4). The late-epoch head drives the training
+    trajectory but memorizes the last mistakes it saw; the average
+    generalizes measurably better on held-out data (the adversarial
+    corpus gate trains with this on).
     """
     sc = sentences.sparkSession.sparkContext
     tags = iobes_tags(entity_types)
@@ -170,6 +190,10 @@ def train_crf_head(
     cur = weights
     metrics: list[dict] = []
     data = sentences.select("tokens", "gold_tags")
+    avg_w = np.zeros_like(weights.proj_w, dtype=np.float64)
+    avg_b = np.zeros_like(weights.proj_b, dtype=np.float64)
+    avg_t = np.zeros_like(weights.transitions, dtype=np.float64)
+    n_avg = 0
 
     for epoch in range(epochs):
         bc = sc.broadcast({"w": cur, "vocab": vocab, "chars": char_vocab})
@@ -184,7 +208,7 @@ def train_crf_head(
                 return
             n, m, d_w, d_b, d_t = _local_perceptron(
                 pdf, v["w"], v["vocab"], v["chars"], unk, tag_ids, lr,
-                seed + epoch)
+                seed + epoch, unk_dropout)
             yield pd.DataFrame({
                 "n_sentences": [n], "n_mistakes": [m],
                 "d_proj_w": [d_w.ravel()], "d_proj_b": [d_b.ravel()],
@@ -192,6 +216,10 @@ def train_crf_head(
             })
 
         rows = data.mapInPandas(run, _DELTA_SCHEMA).collect()
+        # the epoch's broadcast is consumed by the collect above — free
+        # it, or many-epoch runs accumulate stale head copies on the
+        # driver and every executor
+        bc.unpersist(blocking=False)
         total = sum(r["n_sentences"] for r in rows) or 1
         mistakes = sum(r["n_mistakes"] for r in rows)
         mix_w = np.zeros_like(cur.proj_w, dtype=np.float64)
@@ -216,6 +244,21 @@ def train_crf_head(
                         "n_mistakes": int(mistakes),
                         "mistake_rate": round(mistakes / total, 4)})
         cur = new
+        avg_w += cur.proj_w
+        avg_b += cur.proj_b
+        avg_t += cur.transitions
+        n_avg += 1
         if mistakes == 0:
             break
+    if average and n_avg:
+        cur = TaggerWeights(
+            word_emb=cur.word_emb, char_emb=cur.char_emb,
+            char_mode=cur.char_mode, cnn_w=cur.cnn_w, cnn_b=cur.cnn_b,
+            char_lstm_fw=cur.char_lstm_fw, char_lstm_bw=cur.char_lstm_bw,
+            cap_emb=cur.cap_emb, lstm_fw=cur.lstm_fw, lstm_bw=cur.lstm_bw,
+            proj_w=(avg_w / n_avg).astype(np.float32),
+            proj_b=(avg_b / n_avg).astype(np.float32),
+            transitions=(avg_t / n_avg).astype(np.float32),
+            meta=dict(cur.meta),
+        )
     return cur, metrics

@@ -106,6 +106,7 @@ class KGPipeline:
         char_vocab: dict | None = None,
         salt: int = 64,
         cooccurrence_window: int | None = None,
+        embedder=None,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(spark, catalog_root)
@@ -117,6 +118,11 @@ class KGPipeline:
         self.char_vocab = char_vocab
         self.salt = salt
         self.cooccurrence_window = cooccurrence_window
+        # real-vector link scoring (train.py:122-134 semantics): pass a
+        # MatrixEmbedder built from the GloVe scan so production linking
+        # scores in the pretrained space; None = deterministic hash
+        # vectors (exact-surface matching only — test/synthetic default)
+        self.embedder = embedder
 
     # ------------------------------------------------------------ util
     def _metric(self, stage: str, n_rows: int, seconds: float) -> None:
@@ -125,19 +131,25 @@ class KGPipeline:
             "stage string, n_rows long, seconds double")
         self.catalog.append_rows("_metrics", m)
 
-    def _lineage(self, df: DataFrame, stage: str) -> None:
-        self.catalog.append_rows("_lineage", _partition_lineage(df, stage))
-
     def _stage(self, name: str, resume: bool, build) -> DataFrame:
-        """Run one stage unless its snapshot already exists (resume)."""
+        """Run one stage unless its snapshot already exists (resume).
+
+        Post-commit bookkeeping costs ONE action: the per-partition
+        lineage rows are collected (small — one row per partition) and
+        the stage's metric row count is their sum, instead of a separate
+        ``count()`` pass over the snapshot.
+        """
         if resume and self.catalog.exists(name):
             return self.catalog.read(name)
         t0 = time.time()
         df = build()
         self.catalog.commit(name, df)
         out = self.catalog.read(name)
-        self._metric(name, out.count(), time.time() - t0)
-        self._lineage(out, name)
+        lineage = _partition_lineage(out, name).collect()
+        self._metric(name, sum(r["n_rows"] for r in lineage),
+                     time.time() - t0)
+        self.catalog.append_rows("_lineage", self.spark.createDataFrame(
+            lineage, "stage string, partition_id int, n_rows long"))
         return out
 
     # ------------------------------------------------------------- run
@@ -160,7 +172,8 @@ class KGPipeline:
             "mentions", resume, lambda: mentions_table(tagged))
         links = self._stage(
             "links", resume,
-            lambda: link_mentions(candidate_links(mentions, self.aliases, k=3)))
+            lambda: link_mentions(candidate_links(
+                mentions, self.aliases, k=3, embedder=self.embedder)))
         triples = self._stage(
             "triples", resume,
             lambda: sentence_local_triples(

@@ -108,6 +108,12 @@ def test_weights_npz_roundtrip(tmp_path):
     em1, _ = neural_emissions(w, [[1, 2]], [[[1], [2]]], [[0, 1]])
     em2, _ = neural_emissions(w2, [[1, 2]], [[[1], [2]]], [[0, 1]])
     np.testing.assert_array_equal(em1, em2)
+    # the trained flag round-trips: an UNTRAINED bundle must come back
+    # untrained (same weights, same decode behavior across save/load)
+    assert w2.meta.get("trained") is False
+    w.meta["trained"] = True
+    w.to_npz(p)
+    assert TaggerWeights.from_npz(p).meta.get("trained") is True
 
 
 def test_checkpoint_decode_parity(spark, tmp_path):
@@ -126,6 +132,7 @@ def test_checkpoint_decode_parity(spark, tmp_path):
     tags = iobes_tags()
     w = TaggerWeights.random_init(
         vocab_size=101, char_vocab_size=40, num_tags=len(tags), seed=11)
+    w.meta["trained"] = True  # a real checkpoint carries the flag
     p = str(tmp_path / "ckpt.npz")
     w.to_npz(p)
     loaded = TaggerWeights.from_npz(p)
@@ -153,7 +160,12 @@ def test_checkpoint_decode_parity(spark, tmp_path):
     got_prior = decode_df(tag_sentences(sents, mode="neural", weights=loaded,
                                         vocab=vocab, char_vocab=chars,
                                         grammar_prior=True))
-    got_untrained = decode_df(tag_sentences(sents, mode="neural", weights=w,
+    # identical weights, UNTRAINED meta (same seed re-init): the prior
+    # defaults ON for these — w itself was flagged trained above
+    w_untrained = TaggerWeights.random_init(
+        vocab_size=101, char_vocab_size=40, num_tags=len(tags), seed=11)
+    got_untrained = decode_df(tag_sentences(sents, mode="neural",
+                                            weights=w_untrained,
                                             vocab=vocab, char_vocab=chars))
     assert got_prior == got_untrained
     # and the prior genuinely changes SOME decode on random weights

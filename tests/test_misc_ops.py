@@ -115,6 +115,22 @@ def test_kmv_sketch_accuracy_and_exactness(spark):
     all_exact = len({t for _, txt in rows for t in txt.split()})
     assert abs(glob.n_distinct_est - all_exact) / all_exact < 3 / np.sqrt(k)
 
+    # the corpus-wide path is the IMPLEMENTED merge: per-bucket k-minima
+    # then a tiny union — the estimate is invariant to input partitioning
+    # and bucket count, and the plan has no global one-task window
+    for n_buckets in (4, 64):
+        g2 = kmv_distinct_tokens(docs.repartition(8), k=k, per_doc=False,
+                                 n_buckets=n_buckets).first()
+        assert g2.n_distinct_est == glob.n_distinct_est, n_buckets
+    plan = (kmv_distinct_tokens(docs, k=k, per_doc=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan, plan
+    # below-k corpora report the exact count (null u_k branch)
+    tiny = spark.createDataFrame([(0, "a b c"), (1, "b c d")],
+                                 "doc_id long, text string")
+    assert kmv_distinct_tokens(tiny, k=64,
+                               per_doc=False).first().n_distinct_est == 4.0
+
 
 def test_hash_sampling_stable_and_consistent(spark):
     """Deterministic hash sampling: identical subset under different

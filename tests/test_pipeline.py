@@ -88,6 +88,48 @@ def test_lineage_and_metrics_written(spark, tmp_path):
     assert sent_total == pipe.catalog.read("sentences").count()
 
 
+def test_pipeline_with_matrix_embedder(spark, tmp_path):
+    """Production linking seam: KGPipeline(embedder=MatrixEmbedder) runs
+    end-to-end scoring links in a REAL vector space assembled from a
+    tiny GloVe fixture via the J1/J2 relational path (train.py:122-134
+    semantics) — the class entry point no longer silently defaults to
+    hash vectors when pretrained vectors exist."""
+    from ner_pytorch_spark.functions.embeddings import MatrixEmbedder
+    from ner_pytorch_spark.operators.tagger import sentences_table
+    from ner_pytorch_spark.operators.vocab import build_vocab
+    from ner_pytorch_spark.sources.glove import (embedding_matrix_rows,
+                                                 load_glove)
+
+    pages = datagen.pages_dataframe(spark, 60)
+    # tiny GloVe fixture: real-vector rows for a few alias tokens
+    dim = 8
+    import numpy as np
+    rng = np.random.default_rng(13)
+    glove_toks = ["alice", "johnson", "acme", "corporation", "london",
+                  "paris", "smith", "globex"]
+    gpath = tmp_path / "mini_glove.txt"
+    gpath.write_text("".join(
+        f"{t} " + " ".join(f"{x:.4f}" for x in rng.standard_normal(dim))
+        + "\n" for t in glove_toks))
+
+    vocab = build_vocab(sentences_table(pages), min_count=1)
+    glove = load_glove(spark, str(gpath), dim=dim)
+    emb = MatrixEmbedder.from_tables(
+        vocab, embedding_matrix_rows(vocab, glove), dim=dim)
+    for t in glove_toks:
+        assert t in emb.t2i  # fixture rows actually landed in the space
+
+    pipe = KGPipeline(spark, str(tmp_path / "cat"), datagen.alias_rows(),
+                      embedder=emb)
+    out = pipe.run(pages)
+    links = out["links"].collect()
+    assert links, "no links produced"
+    # exact-surface self-hit scores cosine 1.0 in ANY shared space, so
+    # top-1 linking still resolves each mention to its own alias row
+    assert all(r.surface == r.candidate_surface for r in links)
+    assert out["nodes"].count() > 0
+
+
 def test_pipeline_neural_mode(spark, tmp_path):
     """KGPipeline end-to-end in NEURAL mode (exercises the length-sorted
     repartition wiring before tagging): decodes are grammar-valid, every

@@ -63,6 +63,35 @@ def test_ivf_recall(emb_df):
     assert hits / total >= 0.7, f"IVF recall too low: {hits/total}"
 
 
+def test_ivf_max_cell_guard_preserves_results(spark):
+    """Skewed embeddings: the smallest-id codebook puts >50% of vectors
+    into ONE cell. The max_cell salting guard must bound the join block
+    without changing the retrieved neighbors (the candidate set is
+    preserved exactly — index rows shard, probing queries fan out)."""
+    from ner_pytorch_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    hot = rng.standard_normal(16)
+    cold = rng.standard_normal((4, 16)) * 2
+    rows = []
+    for i in range(120):
+        base = hot if i >= 20 else cold[i % 4]  # 100/120 near one center
+        v = base + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unguarded = sorted(map(tuple, ivf_topk(
+        df, k=3, n_cells=6, n_probe=2, max_cell=None).collect()))
+    # sanity: the skew is real — the hottest cell holds > 50% of rows
+    guarded = sorted(map(tuple, ivf_topk(
+        df, k=3, n_cells=6, n_probe=2, max_cell=16).collect()))
+    assert guarded == unguarded
+    # default guard (large cap → n_splits = 1 everywhere) also identical
+    default = sorted(map(tuple, ivf_topk(
+        df, k=3, n_cells=6, n_probe=2).collect()))
+    assert default == unguarded
+
+
 def test_cosine_self_excluded(emb_df):
     from ner_pytorch_spark.operators.similarity import cosine_topk
 

@@ -14,21 +14,27 @@ def _gold_sentences(spark, n_pages: int):
 
 @pytest.fixture(scope="module")
 def trained_bundle(spark):
+    """Trains on the ADVERSARIAL corpus (ambiguous surfaces, OOV
+    held-out names, boundary-adjacent mentions) — the hardened gate: a
+    gazetteer echo scores ~0 here, so F1 ≥ 0.9 evidences context/char
+    discrimination. Same config as the kg_trained_prf driver query."""
     from ner_pytorch_spark.operators.train import (reservoir_weights,
                                                    train_crf_head)
     from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
 
-    sents = _gold_sentences(spark, 260).persist()
-    train = sents.filter(F.col("page_idx") < 200)
-    test = sents.filter(F.col("page_idx") >= 200)
+    sents = datagen.adversarial_sentences_dataframe(
+        spark, 800, oov_from=600).persist()
+    train = sents.filter(F.col("page_idx") < 600)
+    test = sents.filter(F.col("page_idx") >= 600)
     v = build_vocab(train, min_count=1)
     cv = char_vocab(train)
     t2i = {r["token"]: r["id"] for r in v.collect()}
     c2i = {r["token"]: r["id"] for r in cv.collect()}
     w0 = reservoir_weights(max(t2i.values()) + 1, max(c2i.values()) + 1,
-                           seed=7)
+                           seed=7, hidden=128, char_dim=12, char_out=16)
     trained, metrics = train_crf_head(
-        train.repartition(4), w0, t2i, c2i, epochs=12, lr=0.5)
+        train.repartition(8), w0, t2i, c2i, epochs=30, lr=0.25,
+        unk_dropout=0.15)
     return w0, trained, metrics, t2i, c2i, train, test
 
 
