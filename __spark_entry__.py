@@ -494,6 +494,47 @@ def q_kg_triples_arc(spark, sf_dir):
 _PARSE_VERBS = ["scan", "query", "stream"]
 _PARSE_VLEX = {"scan": "scans", "query": "queries", "stream": "streams"}
 
+# between-phrase predicate lexicon over the word-salad corpus: single
+# tokens that actually occur BETWEEN mention pairs in the testdata, so
+# the exact between-phrase pattern join (the production triple path)
+# has real work and its oracle is a plain slice + equi-join
+_PATTERN_LEXICON = {"column": "has_column", "key": "keyed_by",
+                    "batch": "batched_with", "big": "bigger_than"}
+
+
+def q_kg_triples_pattern(spark, sf_dir):
+    """Oracle-checked PATTERN-path triple extraction (the production
+    between-phrase broadcast lexicon join of extract_triples): ordered
+    in-sentence mention pairs, predicate = the exact token run between
+    them matched against _PATTERN_LEXICON. DuckDB replays the pair join
+    and the between-slice over the shared recursive-CTE mentions."""
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import extract_triples
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+    mentions = mentions_table(tagged)
+    return extract_triples(mentions, tagged, _PATTERN_LEXICON)
+
+
+def q_kg_triples_arc_checked(spark, sf_dir):
+    """Oracle-checked VERB-ARC layer (C6 parser-free path) on the
+    documents corpus: a lexicon verb outside any mention links the
+    mention ending nearest before it (subject) to the mention starting
+    nearest after it (object). DuckDB replays the nearest-mention
+    argmax/argmin with row_number windows over the shared mentions CTE
+    (the datagen-corpus kg_triples_arc entry stays as the golden-P/R
+    variant with multi-token surfaces)."""
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import verb_arc_triples
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+    return verb_arc_triples(tagged, _PARSE_VLEX)
+
 
 def q_kg_triples_parsed(spark, sf_dir):
     """C6 completion path, oracle-checked: a DETERMINISTIC fake parse —
@@ -737,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_cooc": q_kg_triples_cooc,
         "kg_triples_arc": q_kg_triples_arc,
         "kg_triples_parsed": q_kg_triples_parsed,
+        "kg_triples_pattern": q_kg_triples_pattern,
+        "kg_triples_arc_checked": q_kg_triples_arc_checked,
         "kg_entity_links": q_kg_entity_links,
         "kg_candidate_links": q_kg_candidate_links,
         "kg_eval_prf": q_kg_eval_prf,
@@ -1340,6 +1383,83 @@ JOIN obj o ON o.url = s.url AND o.sent_id = s.sent_id AND o.vpos = s.vpos
 JOIN verbs v ON v.url = s.url AND v.sent_id = s.sent_id AND v.vpos = s.vpos
 JOIN vlex l ON l.verb = v.verb
 WHERE s.mention_id <> o.mention_id""",
+        # pattern-path oracle: between tokens are a 1-based inclusive
+        # slice toks[subj_end+1 .. obj_start-1]; empty run → '' (never
+        # in the lexicon); equi-join on the exact phrase
+        "kg_triples_pattern": _KG_MENTIONS_CTE + """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_start, m_len, m_type, m_surface
+  FROM matches),
+plex(btw, pred) AS (SELECT * FROM (VALUES
+  ('column','has_column'),('key','keyed_by'),
+  ('batch','batched_with'),('big','bigger_than')) v),
+pairs AS (
+  SELECT a.url, a.sent_id,
+         a.m_surface AS subj_surface, a.m_type AS subj_type,
+         b.m_surface AS obj_surface, b.m_type AS obj_type,
+         a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id,
+         coalesce(array_to_string(
+           s.toks[a.m_start + a.m_len : b.m_start - 1], ' '), '') AS btw
+  FROM ments a
+  JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
+   AND a.m_start + a.m_len <= b.m_start
+  JOIN sents s ON s.url = a.url AND s.sent_id = a.sent_id)
+SELECT url, sent_id, subj_surface, subj_type, pred,
+       obj_surface, obj_type, subj_mention_id, obj_mention_id
+FROM pairs JOIN plex USING (btw)""",
+        # verb-arc oracle: nearest-preceding-end / nearest-following-
+        # start mention per out-of-mention lexicon verb, replayed with
+        # row_number windows (argmax/argmin) over the mentions CTE
+        "kg_triples_arc_checked": _KG_MENTIONS_CTE + """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_start, m_len, m_type, m_surface
+  FROM matches),
+tokpos AS (
+  SELECT url, sent_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos1
+  FROM sents),
+vfree AS (
+  SELECT v.url, v.sent_id, v.pos1, v.token FROM tokpos v
+  WHERE v.token IN ('scan', 'query', 'stream')
+    AND NOT EXISTS (
+      SELECT 1 FROM ments m
+      WHERE m.url = v.url AND m.sent_id = v.sent_id
+        AND m.m_start <= v.pos1 AND v.pos1 < m.m_start + m.m_len)),
+subj AS (
+  SELECT url, sent_id, pos1, mention_id, m_surface, m_type FROM (
+    SELECT v.url, v.sent_id, v.pos1, m.mention_id, m.m_surface, m.m_type,
+           row_number() OVER (PARTITION BY v.url, v.sent_id, v.pos1
+                              ORDER BY m.m_start + m.m_len DESC) AS rn
+    FROM vfree v
+    JOIN ments m ON m.url = v.url AND m.sent_id = v.sent_id
+     AND m.m_start + m.m_len <= v.pos1)
+  WHERE rn = 1),
+obj AS (
+  SELECT url, sent_id, pos1, mention_id, m_surface, m_type FROM (
+    SELECT v.url, v.sent_id, v.pos1, m.mention_id, m.m_surface, m.m_type,
+           row_number() OVER (PARTITION BY v.url, v.sent_id, v.pos1
+                              ORDER BY m.m_start) AS rn
+    FROM vfree v
+    JOIN ments m ON m.url = v.url AND m.sent_id = v.sent_id
+     AND m.m_start > v.pos1)
+  WHERE rn = 1),
+vlex(verb, pred) AS (SELECT * FROM (VALUES
+  ('scan','scans'),('query','queries'),('stream','streams')) v)
+SELECT DISTINCT s.url, s.sent_id,
+       s.m_surface AS subj_surface, s.m_type AS subj_type,
+       l.pred,
+       o.m_surface AS obj_surface, o.m_type AS obj_type,
+       s.mention_id AS subj_mention_id, o.mention_id AS obj_mention_id
+FROM subj s
+JOIN obj o ON o.url = s.url AND o.sent_id = s.sent_id AND o.pos1 = s.pos1
+JOIN vfree v ON v.url = s.url AND v.sent_id = s.sent_id AND v.pos1 = s.pos1
+JOIN vlex l ON l.verb = v.token""",
         # candidate-generation oracle: md5-derived unit token vectors
         # (Md5Embedder parity), mean pooling per surface, per-tag-type
         # cosine RANKING (q-norm cancels within a mention; alias norm

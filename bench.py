@@ -192,7 +192,17 @@ def main():
         best_eng: dict[int, tuple] = {}   # level → (n_pages, secs)
         best_cal: dict[int, float] = {}   # level → secs
         rounds: list[dict] = []
-        for _ in range(SCALING_ROUNDS):
+        # wall-clock budget for the whole scaling section: stop starting
+        # new rounds past this (completed rounds stand) so a slow or
+        # noisy environment degrades to fewer rounds instead of a
+        # truncated artifact
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1080"))
+        t_start = time.time()
+        for rnd in range(SCALING_ROUNDS):
+            if rnd >= 2 and time.time() - t_start > budget:
+                extras.setdefault("scaling_errors", []).append(
+                    f"budget: stopped after {rnd} rounds")
+                break
             rec: dict[int, dict] = {}
             for cores in (lo, CPUS):
                 entry = {}
