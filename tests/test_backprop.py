@@ -1,0 +1,146 @@
+"""Full-model backprop trainer: finite-difference gradient checks,
+forward parity with the inference kernel, and the end-to-end trained
+quality gate on the adversarial corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ner_pytorch_spark import datagen
+from ner_pytorch_spark.operators.backprop import (_get_arrays, _to_f64,
+                                                  loss_and_grads,
+                                                  lstm_forward_cache,
+                                                  train_bilstm_crf)
+from ner_pytorch_spark.operators.encoder import TaggerWeights, lstm_forward
+from ner_pytorch_spark.operators.tagset import iobes_tags
+
+_WORDS = [[1, 2, 3, 4], [5, 6], [7]]
+_CHARS = [[[1, 2], [3], [4, 5, 6], [2]], [[1], [7, 2]], [[3, 1, 2, 5]]]
+_CAPS = [[0, 1, 2, 3], [1, 0], [2]]
+
+
+def _tiny_weights(seed=0):
+    return _to_f64(TaggerWeights.random_init(
+        vocab_size=12, char_vocab_size=8, num_tags=len(iobes_tags()),
+        word_dim=5, char_dim=3, char_out=4, hidden=6, cap_dim=2, seed=seed))
+
+
+def test_gradients_match_finite_differences():
+    """Central-difference check of EVERY trainable array block — the
+    strongest correctness statement a hand-written autodiff can make."""
+    w = _tiny_weights()
+    rng = np.random.default_rng(1)
+    T = len(iobes_tags())
+    tag_ids = [list(rng.integers(0, T, size=len(s))) for s in _WORDS]
+
+    def loss():
+        return loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids)[0]
+
+    nll, grads = loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids)
+    assert nll > 0
+    eps = 1e-6
+    for k, arr in _get_arrays(w).items():
+        if arr is None:
+            continue
+        for _ in range(5):
+            idx = tuple(rng.integers(0, s) for s in arr.shape)
+            orig = arr[idx]
+            arr[idx] = orig + eps
+            lp = loss()
+            arr[idx] = orig - eps
+            lm = loss()
+            arr[idx] = orig
+            fd = (lp - lm) / (2 * eps)
+            an = grads[k][idx]
+            assert abs(fd - an) <= 1e-4 * max(1.0, abs(fd), abs(an)), \
+                (k, idx, fd, an)
+
+
+def test_lstm_train_forward_matches_inference_kernel():
+    """The cached train-path LSTM equals the optimized inference kernel
+    (same masking semantics) in both directions."""
+    rng = np.random.default_rng(3)
+    B, L, D, H = 4, 6, 5, 7
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    lengths = np.array([6, 4, 1, 3])
+    w_ih = rng.standard_normal((4 * H, D)).astype(np.float32) * 0.3
+    w_hh = rng.standard_normal((4 * H, H)).astype(np.float32) * 0.3
+    b = rng.standard_normal(4 * H).astype(np.float32) * 0.1
+    for rev in (False, True):
+        ref = lstm_forward(x, lengths, w_ih, w_hh, b, reverse=rev)
+        got, _ = lstm_forward_cache(x.astype(np.float64), lengths,
+                                    w_ih.astype(np.float64),
+                                    w_hh.astype(np.float64),
+                                    b.astype(np.float64), reverse=rev)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dropout_grads_consistent():
+    """With a fixed rng stream the dropout path still returns grads of
+    the right shapes and a finite loss (smoke — fd would need a frozen
+    mask)."""
+    w = _tiny_weights()
+    T = len(iobes_tags())
+    rng = np.random.default_rng(5)
+    tag_ids = [list(rng.integers(0, T, size=len(s))) for s in _WORDS]
+    nll, grads = loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids,
+                                dropout=0.5, rng=np.random.default_rng(9))
+    assert np.isfinite(nll)
+    for k, arr in _get_arrays(w).items():
+        if arr is not None:
+            assert grads[k].shape == arr.shape, k
+
+
+@pytest.fixture(scope="module")
+def backprop_bundle(spark):
+    sents = datagen.adversarial_sentences_dataframe(
+        spark, 200, oov_from=150).persist()
+    train = sents.filter(F.col("page_idx") < 150)
+    test = sents.filter(F.col("page_idx") >= 150)
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+
+    v, cv = build_vocab(train, min_count=1), char_vocab(train)
+    t2i = {r["token"]: r["id"] for r in v.collect()}
+    c2i = {r["token"]: r["id"] for r in cv.collect()}
+    w0 = TaggerWeights.random_init(
+        max(t2i.values()) + 1, max(c2i.values()) + 1,
+        num_tags=len(iobes_tags()), word_dim=32, char_dim=8, char_out=12,
+        hidden=32, seed=7)
+    trained, metrics = train_bilstm_crf(
+        train.repartition(4), w0, t2i, c2i,
+        epochs=60, lr=0.2, batch_size=8, dropout=0.5)
+    return trained, metrics, t2i, c2i, test
+
+
+def test_backprop_loss_decreases(backprop_bundle):
+    _, metrics, *_ = backprop_bundle
+    assert metrics[-1]["nll_mean"] < 0.2 * metrics[0]["nll_mean"], metrics
+
+
+def test_backprop_heldout_f1_gate(spark, backprop_bundle):
+    """The genuinely TRAINED encoder (full BiLSTM-CRF backprop, not the
+    perceptron head over frozen features) on the adversarial held-out
+    block — ambiguity, OOV and adjacency resolved from context/chars.
+    Gate ≥ 0.97 (measured 1.0; the perceptron head tops out ~0.92-0.96)."""
+    from ner_pytorch_spark.operators.evaluation import chunk_prf
+    from ner_pytorch_spark.operators.tagger import tag_sentences
+
+    trained, _, t2i, c2i, test = backprop_bundle
+    assert trained.meta.get("trained") is True
+    tagged = tag_sentences(test.select("url", "sent_id", "tokens"),
+                           mode="neural", weights=trained,
+                           vocab=t2i, char_vocab=c2i)
+    rows = {r.tag_type: r for r in chunk_prf(tagged.join(
+        test.select("url", "sent_id", "gold_tags"),
+        on=["url", "sent_id"])).collect()}
+    assert rows["OVERALL"].f1 >= 0.97, rows["OVERALL"]
+
+
+def test_backprop_checkpoint_roundtrip(tmp_path, backprop_bundle):
+    trained, *_ = backprop_bundle
+    p = str(tmp_path / "bp.npz")
+    trained.to_npz(p)
+    loaded = TaggerWeights.from_npz(p)
+    assert loaded.meta.get("trained") is True
+    np.testing.assert_array_equal(loaded.proj_w, trained.proj_w)
+    np.testing.assert_array_equal(loaded.lstm_fw[0], trained.lstm_fw[0])
