@@ -742,6 +742,19 @@ def q_kg_trained_prf(spark, sf_dir):
         test.select("url", "sent_id", "gold_tags"), on=["url", "sent_id"]))
 
 
+def q_perplexity(spark, sf_dir):
+    """M11 PROMOTED to oracle-checked: per-document perplexity under an
+    interpolated bigram LM trained on the corpus itself — n-gram counts
+    are distributed aggregations, scoring is equi-joins, and the per-doc
+    log-prob sum is a sequential left fold (F.aggregate ==
+    list_aggregate(…, 'sum')) so DuckDB replays the value exactly. The
+    in-engine stand-in for the reference's GPT-2 fluency ranking
+    (perplexity_est.py:27-67); the scorer seam takes any LM counts."""
+    from ner_pytorch_spark.operators.lm import doc_perplexity
+
+    return doc_perplexity(_read(spark, sf_dir, "documents"))
+
+
 def q_kg_backprop_prf(spark, sf_dir):
     """The genuinely TRAINED encoder gate (rows-only): full BiLSTM-CRF
     backprop — CRF forward-backward marginals, BPTT through the masked
@@ -809,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_components": q_doc_components,
         "paraphrase_ngram": q_paraphrase_ngram,
         "kmv_distinct": q_kmv_distinct,
+        "perplexity": q_perplexity,
         "hash_split": q_hash_split,
         "corpus_clean": q_corpus_clean,
         "kg_mentions": q_kg_mentions,
@@ -1354,6 +1368,32 @@ SELECT c.doc_id,
        round(CASE WHEN k.u_k IS NULL THEN CAST(c.n AS DOUBLE)
                   ELSE 8070450532247928832.0 / k.u_k END, 6) AS n_distinct_est
 FROM counts c LEFT JOIN kth k USING (doc_id)""",
+        # interpolated-bigram perplexity: counts, the interpolation
+        # expression tree, and the pos-ordered left-fold log-prob sum
+        # all replayed with the same IEEE operation order
+        "perplexity": f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+uni AS (SELECT w, count(*) AS cu
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+stats AS (SELECT sum(cu) AS n, count(*) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, i - 2 AS pos, t[i - 1] AS prev, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+bi AS (SELECT prev, w, count(*) AS cb FROM pairs GROUP BY 1, 2),
+scored AS (
+  SELECT p.doc_id, p.pos,
+         ln(0.7 * b.cb / greatest(u2.cu, 1)
+            + 0.25 * u.cu / CAST(s.n AS DOUBLE)
+            + (1.0 - 0.7 - 0.25) / CAST(s.v AS DOUBLE)) AS logp
+  FROM pairs p
+  JOIN uni u ON u.w = p.w
+  JOIN uni u2 ON u2.w = p.prev
+  JOIN bi b ON b.prev = p.prev AND b.w = p.w
+  CROSS JOIN stats s)
+SELECT doc_id, CAST(len(l) AS INT) AS n_scored,
+       round(exp(-list_aggregate(l, 'sum') / len(l)), 6) AS ppl
+FROM (SELECT doc_id, list(logp ORDER BY pos) AS l FROM scored GROUP BY 1)""",
         "paraphrase_ngram": f"""
 WITH edges(phrase, paraphrase) AS (SELECT * FROM (VALUES {", ".join(
             f"('{p}','{q}')" for p, q in _PPDB_EDGES)}) v),

@@ -162,3 +162,32 @@ def test_hash_sampling_stable_and_consistent(spark):
     again = hash_split(df.repartition(5), "k", {"train": 0.8, "dev": 0.1,
                                                 "test": 0.1})
     assert sorted(map(tuple, splits.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bigram_lm_perplexity(spark):
+    """Interpolated-bigram perplexity (M11, relational): predictable
+    repetitive text scores lower than the same tokens shuffled; scored
+    position count = len-1; <2-token docs are omitted; an externally
+    trained LM scores unseen pairs through the backoff terms."""
+    import numpy as np
+
+    from ner_pytorch_spark.operators.lm import doc_perplexity, train_bigram_lm
+
+    rng = np.random.default_rng(5)
+    rep = "a b " * 30                       # one dominant bigram
+    toks = (["a", "b"] * 30)
+    rng.shuffle(toks)
+    docs = spark.createDataFrame(
+        [(0, rep), (1, " ".join(toks)), (2, "solo")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in doc_perplexity(docs).collect()}
+    assert set(out) == {0, 1}               # 1-token doc has no positions
+    assert out[0].n_scored == 59 and out[1].n_scored == 59
+    assert out[0].ppl < out[1].ppl          # order sensitivity (M11 shape)
+
+    # external LM with OOV pairs: backoff keeps probabilities finite
+    lm = train_bigram_lm(docs)
+    other = spark.createDataFrame([(9, "b a zz qq b")],
+                                  "doc_id long, text string")
+    row = doc_perplexity(other, lm=lm).first()
+    assert row.n_scored == 4 and np.isfinite(row.ppl) and row.ppl > 0
