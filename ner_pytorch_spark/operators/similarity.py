@@ -137,10 +137,45 @@ def broadcast_topk(
     return queries.select(id_col, emb_col).mapInPandas(run, _TOPK_SCHEMA)
 
 
+def kmeans_codebook(embeddings: DataFrame, n_cells: int,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    sample: int = 4096, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means codebook for IVF.
+
+    A hash-ordered sample (≤ ``sample`` rows — bounded driver memory at
+    any corpus size) is collected once; Lloyd iterations run driver-side
+    in numpy (cosine assignment, mean update, re-normalize; empty cells
+    keep their previous centroid). Deterministic given (data, seed) but
+    NOT engine-replayable (float centroids) — the oracle path stays the
+    smallest-id codebook; this is the cell-balance upgrade for real
+    clustered embeddings.
+    """
+    rows = (embeddings.select(id_col, emb_col)
+            .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                            F.lit(1_000_003)), id_col)
+            .limit(sample).collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.permutation(len(x))[:n_cells]].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for ci in range(n_cells):
+            m = assign == ci
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[ci] = v / n
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding",
     max_cell: int | None = 100_000,
+    codebook: str | np.ndarray = "minid",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the faiss-IVF shape.
 
@@ -161,12 +196,21 @@ def ivf_topk(
     probing queries fan out over all salts of that cell), so the
     candidate SET is unchanged (tested) but no join block exceeds
     ~``max_cell`` index rows. ``None`` disables the guard.
+
+    ``codebook``: ``"minid"`` (deterministic, oracle-replayable),
+    ``"kmeans"`` (:func:`kmeans_codebook` — better cell balance on
+    clustered data), or a pre-built ``[n_cells, d]`` array.
     """
     from pyspark.sql.types import ArrayType
 
-    rows = (embeddings.select(id_col, emb_col)
-            .orderBy(id_col).limit(n_cells).collect())
-    cents = np.array([r[1] for r in rows], dtype=np.float64)
+    if isinstance(codebook, np.ndarray):
+        cents = np.asarray(codebook, dtype=np.float64)
+    elif codebook == "kmeans":
+        cents = kmeans_codebook(embeddings, n_cells, id_col, emb_col)
+    else:
+        rows = (embeddings.select(id_col, emb_col)
+                .orderBy(id_col).limit(n_cells).collect())
+        cents = np.array([r[1] for r in rows], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     bc = embeddings.sparkSession.sparkContext.broadcast(cents)
 

@@ -92,6 +92,45 @@ def test_ivf_max_cell_guard_preserves_results(spark):
     assert default == unguarded
 
 
+def test_ivf_kmeans_codebook_balances_cells(spark):
+    """On clustered data the smallest-id codebook is skewed (the first
+    n_cells ids may all sit in one cluster); the spherical-k-means
+    codebook spreads cells across the clusters — better balance at
+    equal-or-better recall for the same n_probe."""
+    from ner_pytorch_spark.operators.similarity import (cosine_topk,
+                                                        ivf_topk,
+                                                        kmeans_codebook)
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((6, 12)) * 3
+    rows = []
+    for i in range(180):
+        # ids 0..29 all in cluster 0 → minid codebook collapses there
+        c = 0 if i < 30 else i % 6
+        v = centers[c] + 0.15 * rng.standard_normal(12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = kmeans_codebook(df, n_cells=6, sample=180, seed=1)
+    assert cents.shape == (6, 12)
+    # determinism given (data, seed)
+    np.testing.assert_array_equal(cents, kmeans_codebook(df, 6, sample=180,
+                                                         seed=1))
+
+    def recall(res):
+        bf, got = {}, {}
+        for r in cosine_topk(df, k=3).collect():
+            bf.setdefault(r.vec_id, set()).add(r.neighbor_id)
+        for r in res.collect():
+            got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+        hits = sum(len(bf[q] & got.get(q, set())) for q in bf)
+        return hits / sum(len(v) for v in bf.values())
+
+    r_kmeans = recall(ivf_topk(df, k=3, n_cells=6, n_probe=2,
+                               codebook="kmeans"))
+    assert r_kmeans >= 0.9, r_kmeans
+
+
 def test_cosine_self_excluded(emb_df):
     from ner_pytorch_spark.operators.similarity import cosine_topk
 
