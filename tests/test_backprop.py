@@ -136,6 +136,45 @@ def test_backprop_heldout_f1_gate(spark, backprop_bundle):
     assert rows["OVERALL"].f1 >= 0.97, rows["OVERALL"]
 
 
+def test_trained_neural_pipeline_meets_triple_gate(spark, tmp_path):
+    """The north-rule P/R ≥ 0.95 triple gate met by the TRAINED NEURAL
+    path end-to-end: backprop-train the BiLSTM-CRF, round-trip it
+    through an npz checkpoint (the spark-submit deployment shape), run
+    the full KGPipeline in neural mode — no gazetteer emissions — and
+    compare emitted canonical triples to the by-construction gold."""
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+    from ner_pytorch_spark.plans.kg_pipeline import KGPipeline
+
+    sents = datagen.gold_sentences_dataframe(spark, 300)
+    v, cv = build_vocab(sents, min_count=1), char_vocab(sents)
+    t2i = {r["token"]: r["id"] for r in v.collect()}
+    c2i = {r["token"]: r["id"] for r in cv.collect()}
+    w0 = TaggerWeights.random_init(
+        max(t2i.values()) + 1, max(c2i.values()) + 1,
+        num_tags=len(iobes_tags()), word_dim=32, char_dim=8, char_out=12,
+        hidden=32, seed=7)
+    trained, _ = train_bilstm_crf(sents.repartition(4), w0, t2i, c2i,
+                                  epochs=40, lr=0.2, batch_size=8,
+                                  dropout=0.5)
+    ckpt = str(tmp_path / "trained.npz")
+    trained.to_npz(ckpt)
+    loaded = TaggerWeights.from_npz(ckpt)
+
+    pages = datagen.pages_dataframe(spark, 150)
+    _, gold_m, gold_t = datagen.generate_pages(150)
+    pipe = KGPipeline(spark, str(tmp_path / "cat"), datagen.alias_rows(),
+                      mode="neural", weights=loaded, vocab=t2i,
+                      char_vocab=c2i)
+    out = pipe.run(pages)
+    got = {(r.url, r.sent_id, r.subj_id, r.pred, r.obj_id)
+           for r in out["edges"].collect()}
+    want = {(g["url"], g["sent_id"], g["subj_id"], g["pred"], g["obj_id"])
+            for g in gold_t}
+    tp = len(got & want)
+    assert tp / max(len(got), 1) >= 0.95    # precision (measured 1.0)
+    assert tp / max(len(want), 1) >= 0.95   # recall (measured 1.0)
+
+
 def test_backprop_checkpoint_roundtrip(tmp_path, backprop_bundle):
     trained, *_ = backprop_bundle
     p = str(tmp_path / "bp.npz")
