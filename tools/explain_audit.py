@@ -120,6 +120,22 @@ def main():
     ok &= check("simhash_chunk_equijoin", plan,
                 must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
 
+    # parsed-arc consumer: all arc/mention resolution row-local — the
+    # lexicon join is broadcast, never sort-merge
+    plan = plan_of(e.q_kg_triples_parsed(spark, SF))
+    ok &= check("parsed_arc_broadcast_no_smj", plan,
+                must=[r"BroadcastHashJoin"],
+                must_not=[r"SortMergeJoin", r"CartesianProduct"])
+
+    # corpus-wide KMV: the two-level k-minima merge leaves no global
+    # single-partition window anywhere in the plan
+    from ner_pytorch_spark.operators.textstats import kmv_distinct_tokens
+
+    docs = e._read(spark, SF, "documents")
+    plan = plan_of(kmv_distinct_tokens(docs, k=32, per_doc=False))
+    ok &= check("kmv_corpuswide_no_single_partition", plan,
+                must_not=[r"SinglePartition"])
+
     # html never read from a parquet-backed pages table when the fused
     # path only consumes (url, text) — column pruning reaches the scan
     import tempfile
