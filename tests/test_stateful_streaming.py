@@ -41,3 +41,44 @@ def test_streaming_dedup(spark, tmp_path):
     assert ("u3", "new") in rows
     assert ("u2", "changed") in rows
     assert ("u1", "changed") not in rows  # identical re-crawl suppressed
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Gap sessionization: the streaming stateful operator (update
+    semantics, last row per (user, session)) converges to exactly the
+    batch cumsum segmentation over the same bounded event set, with
+    sessions spanning micro-batch boundaries."""
+    from ner_pytorch_spark.streaming.stateful import streaming_sessions
+
+    EV_DDL = "user_id long, event_id long, ts timestamp"
+    base = dt.datetime(2024, 1, 1)
+
+    def t(secs):
+        return base + dt.timedelta(seconds=secs)
+
+    src = str(tmp_path / "ev")
+    b1 = [(1, 1, t(0)), (1, 2, t(100)), (1, 3, t(2100)), (2, 1, t(50))]
+    b2 = [(1, 4, t(2200)), (1, 5, t(10000)), (2, 2, t(60))]
+    spark.createDataFrame(b1, EV_DDL).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(b2, EV_DDL).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (spark.readStream.schema(EV_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = (streaming_sessions(stream, gap_secs=1800).writeStream
+         .format("memory").queryName("sess_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from sess_out").collect()
+    final = {}
+    for r in rows:  # last update per session == max n_events
+        k = (r.user_id, r.session_id)
+        if k not in final or r.n_events > final[k][0]:
+            final[k] = (r.n_events, r.duration_secs)
+    assert final == {
+        (1, 1): (2, 100),    # events at 0, 100
+        (1, 2): (2, 100),    # 2100, 2200 — session spans the batch seam
+        (1, 3): (1, 0),      # 10000
+        (2, 1): (2, 10),     # 50, 60
+    }
