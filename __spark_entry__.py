@@ -619,6 +619,31 @@ def q_kg_entity_links(spark, sf_dir):
         mentions, _TESTDATA_ALIASES, k=3, embedder=Md5Embedder(16))).drop("score")
 
 
+def q_kg_context_links(spark, sf_dir):
+    """M12 shape PROMOTED to oracle-checked: context-weighted candidate
+    generation — the query vector pools the mention surface tokens PLUS
+    0.5× the tokens within a ±3 window around the span (the pooled-
+    context analogue of the reference's BERT mention-context embedding,
+    get_bert_embedding.py:24-36). With Md5Embedder every token vector,
+    the context means, the mixing, and the per-mention cosine RANKING
+    replay in DuckDB. Score dropped; the ranking is the contract."""
+    from ner_pytorch_spark.functions.embeddings import Md5Embedder
+    from ner_pytorch_spark.operators.linking import contextual_candidate_links
+    from ner_pytorch_spark.operators.spans import mentions_table
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+    mentions = mentions_table(tagged)
+    import numpy as np
+
+    return contextual_candidate_links(
+        mentions, tagged, _TESTDATA_ALIASES, k=3, window=3,
+        context_weight=0.5,
+        embedder=Md5Embedder(16, dtype=np.float64)).drop("score")
+
+
 def q_kg_entity_nodes_checked(spark, sf_dir):
     """Oracle-checked canonicalization tail over the documents corpus:
     mentions → md5-embedder top-1 links → surface↔canonical bipartite
@@ -834,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_arc_checked": q_kg_triples_arc_checked,
         "kg_entity_links": q_kg_entity_links,
         "kg_candidate_links": q_kg_candidate_links,
+        "kg_context_links": q_kg_context_links,
         "kg_eval_prf": q_kg_eval_prf,
         "kg_trained_prf": q_kg_trained_prf,
         "kg_backprop_prf": q_kg_backprop_prf,
@@ -1605,6 +1631,95 @@ SELECT tag_type, n_correct, n_true, n_pred, precision, recall,
              THEN 2 * precision * recall / (precision + recall)
              ELSE 0.0 END, 6) AS f1
 FROM pr""",
+        # context-weighted candidate oracle (M12 shape): token universe
+        # = corpus ∪ alias tokens; q = mean(surface vecs) + 0.5 ·
+        # mean(±3-window context vecs); ranking key = full cosine
+        # (q-norm divided out so the 6-dp rounding compares on the same
+        # scale as the Spark side's normalized scores)
+        "kg_context_links": _KG_MENTIONS_CTE + f""",
+mpos AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_start, m_len, m_type AS tag_type, m_surface AS surface
+  FROM matches),
+abank(surface, tag_type, canonical_id) AS (
+  SELECT * FROM (VALUES
+    ('spark','ORG',CAST(0 AS BIGINT)),('flink','ORG',1),('trino','ORG',2),('duckdb','ORG',3),
+    ('hash join','MISC',100),('merge join','MISC',101),('sort merge','MISC',102),
+    ('hash agg','MISC',103),('window','MISC',104),('rollup','MISC',105),
+    ('table','LOC',200),('partition','LOC',201),('bucket','LOC',202),
+    ('customer','PER',300),('supplier','PER',301)) v),
+tokpos AS (
+  SELECT url, sent_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos1
+  FROM sents),
+univ AS (
+  -- NOTE: unnest() in a UNION branch is applied after the set-op's
+  -- dedup in DuckDB, leaving duplicate tokens; dedupe OUTSIDE instead
+  SELECT DISTINCT token FROM (
+    SELECT token FROM tokpos
+    UNION ALL
+    SELECT unnest(string_split(surface, ' ')) AS token FROM abank)),
+dims AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS i),
+tvec0 AS (
+  SELECT token, i,
+         md5_number_upper(concat('emb:', token, ':', i))
+           / 18446744073709551616.0 * 2 - 1 AS v
+  FROM univ CROSS JOIN dims),
+tvec AS (
+  SELECT t.token, t.i, t.v / n.nrm AS v
+  FROM tvec0 t JOIN (SELECT token, sqrt(sum(v * v)) AS nrm
+                     FROM tvec0 GROUP BY token) n USING (token)),
+spool AS (
+  SELECT s.surface, v.i, avg(v.v) AS p
+  FROM (SELECT surface, unnest(string_split(surface, ' ')) AS token
+        FROM (SELECT surface FROM mpos UNION SELECT surface FROM abank)) s
+  JOIN tvec v USING (token) GROUP BY 1, 2),
+anorm AS (
+  SELECT a.surface, sqrt(sum(p.p * p.p)) AS nrm
+  FROM abank a JOIN spool p USING (surface) GROUP BY 1),
+cagg AS (
+  SELECT mp.url, mp.sent_id, mp.mention_id, v.i, sum(v.v) AS s,
+         count(*) AS n
+  FROM mpos mp
+  JOIN tokpos t ON t.url = mp.url AND t.sent_id = mp.sent_id
+   AND ((t.pos1 BETWEEN mp.m_start - 3 AND mp.m_start - 1)
+     OR (t.pos1 BETWEEN mp.m_start + mp.m_len
+                    AND mp.m_start + mp.m_len + 2))
+  JOIN tvec v ON v.token = t.token
+  GROUP BY 1, 2, 3, 4),
+iv AS (
+  SELECT mp.url, mp.sent_id, mp.mention_id, p.i,
+         p.p + coalesce(0.5 * (c.s / c.n), 0.0) AS q
+  FROM mpos mp
+  JOIN spool p ON p.surface = mp.surface
+  LEFT JOIN cagg c ON c.url = mp.url AND c.sent_id = mp.sent_id
+   AND c.mention_id = mp.mention_id AND c.i = p.i),
+qnorm AS (
+  SELECT url, sent_id, mention_id, sqrt(sum(q * q)) AS nrm
+  FROM iv GROUP BY 1, 2, 3),
+isc AS (
+  SELECT mp.url, mp.sent_id, mp.mention_id, mp.surface, mp.tag_type,
+         a.surface AS candidate_surface, a.canonical_id,
+         sum(iv.q * pa.p) / (any_value(an.nrm) * any_value(qn.nrm)) AS key
+  FROM mpos mp
+  JOIN abank a ON a.tag_type = mp.tag_type
+  JOIN iv ON iv.url = mp.url AND iv.sent_id = mp.sent_id
+   AND iv.mention_id = mp.mention_id
+  JOIN spool pa ON pa.surface = a.surface AND pa.i = iv.i
+  JOIN anorm an ON an.surface = a.surface
+  JOIN qnorm qn ON qn.url = mp.url AND qn.sent_id = mp.sent_id
+   AND qn.mention_id = mp.mention_id
+  GROUP BY mp.url, mp.sent_id, mp.mention_id, mp.surface, mp.tag_type,
+           a.surface, a.canonical_id)
+SELECT url, sent_id, mention_id, surface, tag_type,
+       CAST(rn - 1 AS INT) AS rank, candidate_surface, canonical_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY url, sent_id, mention_id
+                               ORDER BY round(key, 6) DESC, candidate_surface) AS rn
+  FROM isc)
+WHERE rn <= 3""",
         # full canonicalization-tail oracle: top-1 links from the
         # md5-embedder ranking, surface-canonical bipartite edges,
         # recursive reachability closure (connected components), then

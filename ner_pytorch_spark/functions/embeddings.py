@@ -58,8 +58,12 @@ class Md5Embedder:
     the driver hash-check the linking operators end-to-end.
     """
 
-    def __init__(self, dim: int = 16):
+    def __init__(self, dim: int = 16, dtype=np.float32):
+        # dtype=float64 keeps the whole scoring path in double — the
+        # oracle's precision — which matters when candidate scores sit
+        # within ~1e-6 of each other (context-weighted queries)
         self.dim = dim
+        self.dtype = dtype
 
     def vec(self, token: str) -> np.ndarray:
         import hashlib
@@ -70,7 +74,7 @@ class Md5Embedder:
                 "little") for i in range(self.dim)),
             dtype=np.float64, count=self.dim)
         v = u / 2.0**64 * 2 - 1
-        return (v / np.linalg.norm(v)).astype(np.float32)
+        return (v / np.linalg.norm(v)).astype(self.dtype)
 
 
 class MatrixEmbedder:

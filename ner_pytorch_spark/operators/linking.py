@@ -64,7 +64,9 @@ def build_alias_index(aliases: list[dict], pooling: str = "mean",
         if embedder is not None:
             vecs = [_pool([embedder.vec(t) for t in r["surface"].split(" ")],
                           pooling) for r in rows]
-            mat = _l2norm(np.asarray(vecs, dtype=np.float32))
+            # dtype-preserving: a float64 embedder keeps scoring in
+            # double end-to-end (oracle precision for near-tie ranks)
+            mat = _l2norm(np.asarray(vecs))
         else:
             mat = _l2norm(np.asarray([r[key] for r in rows], dtype=np.float32))
         surfaces = [r["surface"] for r in rows]
@@ -219,7 +221,7 @@ def candidate_links(
                     continue
                 # A4 pooling over the mention's token vectors
                 q = _surface_vectors(grp["surface"], emb_, pooling, cache)
-                q = _l2norm(q.astype(np.float32))
+                q = _l2norm(q.astype(entry["mat"].dtype))
                 if farthest:
                     q = -q
                 scores = q @ entry["mat"].T  # [m, N]
@@ -313,7 +315,7 @@ def contextual_candidate_links(
                         q = q + context_weight * _pool([tv(t) for t in ctx],
                                                        pooling)
                     qs.append(q)
-                q = _l2norm(np.stack(qs).astype(np.float32))
+                q = _l2norm(np.stack(qs).astype(entry["mat"].dtype))
                 scores = q @ entry["mat"].T
                 _emit_topk(out_rows, grp, scores, entry, tt, k, drop_self)
             yield pd.DataFrame(out_rows)
