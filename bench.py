@@ -182,8 +182,13 @@ def main():
 
         def child(mode: str, cores: int, arg: int):
             cmd = [sys.executable, __file__, mode, str(cores), str(arg)]
+            # 64g heap for the children: the doubled 3.2M-page input at
+            # 32 concurrent tasks GC-thrashes a 24g driver (measured
+            # 33 s vs 24.6 s — superlinear vs the 1.6M leg); with 64g
+            # the hi leg is exactly linear in input size
+            env = {**os.environ, "SPARK_DRIVER_MEM": "64g"}
             out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=1200,
+                cmd, capture_output=True, text=True, timeout=1200, env=env,
             ).stdout.strip().splitlines()
             return json.loads(out[-1])
 
