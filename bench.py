@@ -14,8 +14,11 @@ hardware calibration at both levels, run immediately before its
 matching engine leg, so engine and ceiling sample the SAME noise
 regime (the shared VM's steal varies minute-to-minute; round-2's
 calibration ran after all engine legs and could normalize against a
-different regime). The JSON reports the best-of raw efficiency plus
-the per-round regime-paired normalized efficiency (median).
+different regime). Each engine leg is itself best-of-2 at BOTH levels
+(symmetric), because with every host CPU pinned the hi leg absorbs all
+interference and swings ~2× minute-to-minute while the lo leg is
+stable. The JSON reports the best-of raw efficiency plus the per-round
+regime-paired normalized efficiency (median).
 
 Usage: python bench.py            # env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
 """
@@ -64,14 +67,15 @@ def _kg_pipeline(spark, pages, aliases, lexicon):
 
 
 def _timed_kg(spark, n_pages, aliases, lexicon, cores, repeats: int = 3,
-              warm_frac: float | None = None):
+              warm_frac: float | None = None, partitions_mult: int = 3):
     from ner_pytorch_spark import datagen
 
     # persist only the columns the fused path reads — the html binary is
     # ~60% of the row and would bloat the cache / GC for nothing
     pages = (
         datagen.pages_dataframe(
-            spark, n_pages, distributed=True, partitions=cores * 3)
+            spark, n_pages, distributed=True,
+            partitions=cores * partitions_mult)
         .select("url", "text", "lang").persist())
     n = pages.count()  # materialize input (and warm workers) off the clock
     # warm the tagger python workers + broadcasts off the clock
@@ -180,7 +184,7 @@ def main():
     if SCALING and CPUS >= 8:
         import subprocess
 
-        def child(mode: str, cores: int, arg: int):
+        def child(mode: str, cores: int, arg: int = 0):
             cmd = [sys.executable, __file__, mode, str(cores), str(arg)]
             # 64g heap for the children: the doubled 3.2M-page input at
             # 32 concurrent tasks GC-thrashes a 24g driver (measured
@@ -196,12 +200,13 @@ def main():
         ratio = CPUS / lo
         best_eng: dict[int, tuple] = {}   # level → (n_pages, secs)
         best_cal: dict[int, float] = {}   # level → secs
+        best_mem: dict[int, float] = {}   # level → secs (DRAM stream)
         rounds: list[dict] = []
         # wall-clock budget for the whole scaling section: stop starting
         # new rounds past this (completed rounds stand) so a slow or
         # noisy environment degrades to fewer rounds instead of a
         # truncated artifact
-        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1080"))
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1600"))
         t_start = time.time()
         for rnd in range(SCALING_ROUNDS):
             if rnd >= 2 and time.time() - t_start > budget:
@@ -219,6 +224,13 @@ def main():
                     extras.setdefault("scaling_errors", []).append(
                         f"calib cores={cores}: {exc}")
                 try:
+                    entry["mem"] = child("--memstream-child", cores)[0]
+                    if cores not in best_mem or entry["mem"] < best_mem[cores]:
+                        best_mem[cores] = entry["mem"]
+                except Exception as exc:
+                    extras.setdefault("scaling_errors", []).append(
+                        f"memstream cores={cores}: {exc}")
+                try:
                     n, secs = child("--scaling-child", cores, SCALING_PAGES)
                     entry["n"], entry["secs"] = n, secs
                     if cores not in best_eng or secs < best_eng[cores][1]:
@@ -230,7 +242,7 @@ def main():
             if all("secs" in rec[c] and "cal" in rec[c] for c in (lo, CPUS)):
                 eff_r = (rec[lo]["secs"] / rec[CPUS]["secs"]) / ratio
                 ceil_r = (rec[lo]["cal"] / rec[CPUS]["cal"]) / ratio
-                rounds.append({
+                row = {
                     "secs_lo": round(rec[lo]["secs"], 3),
                     "secs_hi": round(rec[CPUS]["secs"], 3),
                     "efficiency": round(eff_r, 3),
@@ -238,7 +250,11 @@ def main():
                     "calib_hi": round(rec[CPUS]["cal"], 3),
                     "ceiling": round(ceil_r, 3),
                     "normalized": round(min(1.0, eff_r / ceil_r), 3),
-                })
+                }
+                if all("mem" in rec[c] for c in (lo, CPUS)):
+                    row["mem_ceiling"] = round(
+                        (rec[lo]["mem"] / rec[CPUS]["mem"]) / ratio, 3)
+                rounds.append(row)
         if len(best_eng) == 2:
             speedup = best_eng[lo][1] / best_eng[CPUS][1]
             eff = speedup / ratio
@@ -263,6 +279,21 @@ def main():
                     "secs_hi": round(best_cal[CPUS], 3),
                     "speedup": round(hw_speedup, 3),
                     "efficiency_ceiling": round(hw_eff, 3),
+                }
+            if len(best_mem) == 2:
+                # DRAM-streaming probe: on ONE box, 4N cores share a
+                # single memory subsystem, so bandwidth-bound work is
+                # structurally capped far below 1.0 (a real N→4N
+                # cluster brings 4N memory channels). Reported as
+                # evidence for the residual raw-efficiency gap — the
+                # normalized headline still uses the CONSERVATIVE
+                # register-CPU busy-loop ceiling above.
+                mem_speedup = best_mem[lo] / best_mem[CPUS]
+                scaling["mem_stream"] = {
+                    "secs_lo": round(best_mem[lo], 3),
+                    "secs_hi": round(best_mem[CPUS], 3),
+                    "speedup": round(mem_speedup, 3),
+                    "efficiency_ceiling": round(mem_speedup / ratio, 3),
                 }
             if rounds:
                 # regime-paired normalized efficiency: median over
@@ -301,18 +332,22 @@ def main():
 def _scaling_child(cores: int, n_pages: int) -> None:
     """Pinned single-configuration run; prints [n_pages, best_secs].
 
-    One timed run per child (cross-round repetition happens in the
-    parent's interleaved rounds); the warmup covers every partition at
-    1/8 of the work via a sample, so the child's wall budget goes to
-    the measured run."""
+    Best-of-2 timed runs per child, SAME count at both levels (trial
+    runs showed the hi leg swings ~2× minute-to-minute — with all host
+    CPUs pinned, any interference lands directly — while the lo leg is
+    stable; a second sample inside the child halves that variance
+    without asymmetric sampling). Partitions are cores*8 (vs the
+    default cores*3) so a stolen CPU straggles a ~2 s task, not a ~6 s
+    one, and the last task wave doesn't idle the other 31 cores. The
+    warmup covers every partition at 1/8 of the work via a sample."""
     if hasattr(os, "sched_setaffinity"):
         os.sched_setaffinity(0, set(range(cores)))  # children inherit
     from ner_pytorch_spark import datagen
 
     spark = _new_spark(cores)
     n, _, secs = _timed_kg(spark, n_pages, datagen.alias_rows(),
-                           datagen.PREDICATE_LEXICON, cores, repeats=1,
-                           warm_frac=0.125)
+                           datagen.PREDICATE_LEXICON, cores, repeats=2,
+                           warm_frac=0.125, partitions_mult=8)
     spark.stop()
     print(json.dumps([n, secs]))
 
@@ -344,6 +379,46 @@ def _calib_child(cores: int) -> None:
     print(json.dumps([time.time() - t0]))
 
 
+# DRAM-streaming probe: fixed total of 64 MB array sweeps (~80 GB of
+# read+write traffic) split across `cores` pinned processes; allocation
+# + first-touch happen BEFORE a barrier so only the streaming is timed.
+# 8 of these cores already draw ~45 GB/s on this box — the kernel
+# measures how far from 4× the shared memory subsystem caps a
+# bandwidth-bound workload when "scaling" happens inside one machine.
+_MEM_ARR_MB = 64
+_MEM_TOTAL_PASSES = 1280
+
+
+def _mem_stream(n_passes: int, barrier) -> None:
+    import numpy as np
+
+    a = np.ones(_MEM_ARR_MB * 1024 * 1024 // 8)
+    a += 1.0  # warm: pages faulted in
+    barrier.wait()
+    for _ in range(n_passes):
+        a += 1.0
+    if a[0] < 0:
+        print(a[0])
+
+
+def _memstream_child(cores: int) -> None:
+    import multiprocessing as mp
+
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(cores)))
+    barrier = mp.Barrier(cores + 1)
+    procs = [mp.Process(target=_mem_stream,
+                        args=(_MEM_TOTAL_PASSES // cores, barrier))
+             for _ in range(cores)]
+    for p in procs:
+        p.start()
+    barrier.wait()
+    t0 = time.time()
+    for p in procs:
+        p.join()
+    print(json.dumps([time.time() - t0]))
+
+
 def _burn(n: int) -> None:
     x = 0
     for i in range(n):
@@ -357,5 +432,7 @@ if __name__ == "__main__":
         _scaling_child(int(sys.argv[2]), int(sys.argv[3]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--calib-child":
         _calib_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--memstream-child":
+        _memstream_child(int(sys.argv[2]))
     else:
         main()
