@@ -72,7 +72,7 @@ def _kg_pipeline(spark, pages, aliases, lexicon):
 
 
 def _timed_kg(spark, n_pages, aliases, lexicon, cores, repeats: int = 3,
-              warm_frac: float | None = None, partitions_mult: int = 3):
+              warm_frac: float | None = None, partitions: int | None = None):
     from ner_pytorch_spark import datagen
 
     # persist only the columns the fused path reads — the html binary is
@@ -80,7 +80,7 @@ def _timed_kg(spark, n_pages, aliases, lexicon, cores, repeats: int = 3,
     pages = (
         datagen.pages_dataframe(
             spark, n_pages, distributed=True,
-            partitions=cores * partitions_mult)
+            partitions=partitions or cores * 3)
         .select("url", "text", "lang").persist())
     n = pages.count()  # materialize input (and warm workers) off the clock
     # warm the tagger python workers + broadcasts off the clock
@@ -367,10 +367,15 @@ def _scaling_child(cores: int, n_pages: int) -> None:
     runs showed the hi leg swings ~2× minute-to-minute — with all host
     CPUs pinned, any interference lands directly — while the lo leg is
     stable; a second sample inside the child halves that variance
-    without asymmetric sampling). Partitions are cores*8 (vs the
-    default cores*3) so a stolen CPU straggles a ~2 s task, not a ~6 s
-    one, and the last task wave doesn't idle the other 31 cores. The
-    warmup covers every partition at 1/8 of the work via a sample."""
+    without asymmetric sampling). Partitions are FIXED at 128 for every
+    level: a dataset's partitioning does not change when a real cluster
+    adds executors, and per-task overhead here is ~10 ms SERIAL (a
+    measured no-op mapInPandas over the same cache costs 1.1 s at 32
+    tasks vs 6.0 s at 512, flat across core counts) — per-core task
+    counts would bill the hi leg 4× the fixed overhead of the lo leg
+    and corrupt the core-scaling comparison. 128 also keeps straggler
+    smoothing (8 task waves at 16 cores). The warmup covers every
+    partition at 1/8 of the work via a sample."""
     if hasattr(os, "sched_setaffinity"):
         os.sched_setaffinity(0, set(range(cores)))  # children inherit
     from ner_pytorch_spark import datagen
@@ -378,7 +383,7 @@ def _scaling_child(cores: int, n_pages: int) -> None:
     spark = _new_spark(cores)
     n, _, secs = _timed_kg(spark, n_pages, datagen.alias_rows(),
                            datagen.PREDICATE_LEXICON, cores, repeats=2,
-                           warm_frac=0.125, partitions_mult=8)
+                           warm_frac=0.125, partitions=128)
     spark.stop()
     print(json.dumps([n, secs]))
 

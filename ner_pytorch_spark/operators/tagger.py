@@ -133,6 +133,69 @@ def gazetteer_tag_ids(tokens: list[str], surface_index: dict,
     return ids
 
 
+def gazetteer_decode(
+    tok_lists: list[list[str]],
+    surface_index: dict,
+    tag_ids: dict[str, int],
+    transitions: np.ndarray,
+) -> list[list[int]]:
+    """Exact gazetteer-mode decode WITHOUT running the Viterbi DP.
+
+    In gazetteer mode the emission lattice is deterministic: 0
+    everywhere except the matched positions, which carry MATCH_SCORE,
+    and the decode transitions are the pure IOBES grammar (exactly 0 or
+    IMPOSSIBLE). Under that structure the candidate path "matched tags,
+    O elsewhere" is provably what :func:`viterbi_decode` returns:
+
+    - it is grammar-valid by construction (greedy longest-match emits
+      non-overlapping well-formed spans), so its score is
+      MATCH_SCORE x n_matched — the maximum attainable, since every
+      transition score is <= 0 and deviating at a matched position
+      forfeits MATCH_SCORE;
+    - tie-breaking: alternative max-score paths differ only on
+      zero-emission runs, and the DP's argmax-first tie-break always
+      prefers tag id 0 = "O" there (backptr argmax picks the smallest
+      maximal index, and delta["O"] is maximal at every unmatched
+      position), which is exactly this candidate.
+
+    A vectorized grammar check still guards every sentence; any
+    candidate that is NOT valid (impossible with the current matcher,
+    cheap insurance against future matchers) falls back to the real
+    DP in one small batch. The fused hot path uses this; the unfused
+    ``tag_sentences`` keeps full Viterbi, so the fused==unfused
+    equivalence tests differentially verify the shortcut on every run.
+    Skipping the DP also skips materializing the [B, L, T] emission
+    tensor — on profile this halves the fused UDF body.
+    """
+    from .crf import IMPOSSIBLE, viterbi_decode
+
+    T = transitions.shape[0] - 2
+    half = IMPOSSIBLE / 2.0
+    ok_pair = transitions[:T, :T] > half
+    ok_start = transitions[T, :T] > half
+    ok_stop = transitions[:T, T + 1] > half
+    paths: list[list[int] | None] = [None] * len(tok_lists)
+    fallback: list[tuple[int, np.ndarray]] = []
+    for b, toks in enumerate(tok_lists):
+        g = np.asarray(
+            gazetteer_tag_ids(toks, surface_index, tag_ids), dtype=np.int64)
+        if (ok_start[g[0]] and ok_stop[g[-1]]
+                and (g.size < 2 or ok_pair[g[:-1], g[1:]].all())):
+            paths[b] = g.tolist()
+        else:
+            fallback.append((b, g))
+    if fallback:
+        L = max(g.size for _, g in fallback)
+        em = np.zeros((len(fallback), L, T), dtype=np.float32)
+        lens = np.asarray([g.size for _, g in fallback], dtype=np.int64)
+        for k, (_, g) in enumerate(fallback):
+            em[k, np.arange(g.size), g] = MATCH_SCORE
+        for (b, _), p in zip(fallback,
+                             viterbi_decode(em, lens, transitions)):
+            paths[b] = p
+    return paths
+
+
 # ------------------------------------------------------------- tagging
 
 _TAGGED_SCHEMA = StructType([
@@ -347,13 +410,13 @@ def pages_to_mention_pairs(
                 continue
             lengths = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
             if v["mode"] == "gazetteer":
-                sidx, tids = v["surface_index"], v["tag_ids"]
-                L = max(1, int(lengths.max()))
-                em = np.zeros((B, L, T), dtype=np.float32)
-                for b, toks in enumerate(tok_lists):
-                    g = gazetteer_tag_ids(toks, sidx, tids)
-                    em[b, np.arange(len(g)), g] = MATCH_SCORE
-                decode_trans = trans
+                # exact DP-free decode (see gazetteer_decode: candidate
+                # optimality + tie-break proof, grammar-checked with a
+                # real-Viterbi fallback); the unfused path keeps full
+                # Viterbi so the equivalence tests differentially
+                # verify this shortcut
+                paths = gazetteer_decode(
+                    tok_lists, v["surface_index"], v["tag_ids"], trans)
             else:
                 w: TaggerWeights = v["weights"]
                 feats = [featurize_sentence(t, v["vocab"], v["chars"], v["unk"])
@@ -361,8 +424,7 @@ def pages_to_mention_pairs(
                 em, lengths = neural_emissions(
                     w, [f[0] for f in feats], [f[1] for f in feats],
                     [f[2] for f in feats])
-                decode_trans = v["decode_trans"]
-            paths = viterbi_decode(em, lengths, decode_trans)
+                paths = viterbi_decode(em, lengths, v["decode_trans"])
             out = {k: [] for k in ("url", "sent_id", "kind", "a", "b", "c",
                                    "type_a", "type_b", "surf_a", "surf_b",
                                    "between")}

@@ -95,3 +95,61 @@ def test_fused_neural_matches_staged_neural(spark, corpus):
     a = sorted(map(tuple, fused_mentions(fusedn).collect()))
     b = sorted(map(tuple, mentions_table(stagedn).collect()))
     assert a == b
+
+
+def test_gazetteer_decode_matches_viterbi_and_falls_back():
+    """The DP-free gazetteer decode == viterbi_decode on real matcher
+    output, and an artificially INVALID candidate takes the Viterbi
+    fallback (both compared against the DP ground truth)."""
+    import numpy as np
+
+    from ner_pytorch_spark.operators.crf import viterbi_decode
+    from ner_pytorch_spark.operators.tagger import (MATCH_SCORE,
+                                                    build_surface_index,
+                                                    gazetteer_decode,
+                                                    gazetteer_tag_ids)
+    from ner_pytorch_spark.operators.tagset import (grammar_transitions,
+                                                    iobes_tags, tag_to_id)
+
+    tags = iobes_tags()
+    tids = tag_to_id()
+    trans = grammar_transitions()
+    T = len(tags)
+    aliases = datagen.alias_rows()
+    sidx = build_surface_index(aliases)
+    rows, _, _ = datagen.generate_pages(60, seed=11)
+    tok_lists = [ln.split() for r in rows for ln in r["text"].split("\n")
+                 if ln.split()]
+    assert len(tok_lists) > 100
+
+    fast = gazetteer_decode(tok_lists, sidx, tids, trans)
+    lens = np.array([len(t) for t in tok_lists])
+    L = int(lens.max())
+    em = np.zeros((len(tok_lists), L, T), dtype=np.float32)
+    n_matched = 0
+    for b, toks in enumerate(tok_lists):
+        g = gazetteer_tag_ids(toks, sidx, tids)
+        em[b, np.arange(len(g)), g] = MATCH_SCORE
+        n_matched += sum(1 for i in g if i != tids["O"])
+    assert n_matched > 50  # the corpus genuinely exercises matches
+    assert fast == viterbi_decode(em, lens, trans)
+
+    # invalid candidate (I-PER with no opener) → fallback path: feed a
+    # matcher that emits it directly and check the DP repairs it the
+    # same way viterbi_decode does on the equivalent emissions
+    bad = [tids["I-PER"], tids["I-PER"], tids["O"]]
+
+    class _BadIndex(dict):
+        def get(self, key):  # every first token "matches" invalidly
+            return None
+
+    import ner_pytorch_spark.operators.tagger as tg
+    orig = tg.gazetteer_tag_ids
+    try:
+        tg.gazetteer_tag_ids = lambda toks, s, t: bad[:len(toks)]
+        out = gazetteer_decode([["a", "b", "c"]], _BadIndex(), tids, trans)
+    finally:
+        tg.gazetteer_tag_ids = orig
+    em2 = np.zeros((1, 3, T), dtype=np.float32)
+    em2[0, np.arange(3), bad] = MATCH_SCORE
+    assert out == viterbi_decode(em2, np.array([3]), trans)
