@@ -518,9 +518,18 @@ def repartition_by_length(sentences: DataFrame, partitions: int | None = None) -
     [B, L] tensors. Purely physical; no semantic effect (the fused/
     tagged outputs are row-keyed, never order-dependent)."""
     n = partitions or sentences.sparkSession.sparkContext.defaultParallelism
+    # range-partition on (length, row-hash), NOT length alone: range
+    # bounds are sampled from the key, and a low-cardinality key caps
+    # the partition count at its number of distinct values — web
+    # sentences cluster into few length classes, so ranging on bare
+    # _len yielded ~7 partitions (one holding a third of all rows) and
+    # silently ran the 32-way neural stage ~7-wide. The hash tiebreaker
+    # lets bounds split inside a length class: still length-clustered
+    # (padding-minimal), now n near-equal partitions, deterministic.
     return (
         sentences.withColumn("_len", F.size("tokens"))
-        .repartitionByRange(n, "_len")
+        .withColumn("_tb", F.hash("url", "sent_id"))
+        .repartitionByRange(n, "_len", "_tb")
         .sortWithinPartitions(F.desc("_len"))
-        .drop("_len")
+        .drop("_len", "_tb")
     )
