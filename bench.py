@@ -109,9 +109,12 @@ def main():
 
     spark = _new_spark(CPUS)
 
-    # ---- headline: end-to-end KG construction
+    # ---- headline: end-to-end KG construction. One partition per core:
+    # after the DP-free decode the 50k-page job is ~0.3 s of compute, so
+    # per-task overhead dominates — measured 96 parts 1.69 s vs 32 parts
+    # 0.95 s at 32 cores (16 parts under-subscribes: 0.99 s)
     n_pages, n_triples, kg_secs = _timed_kg(
-        spark, N_PAGES, aliases, lexicon, CPUS)
+        spark, N_PAGES, aliases, lexicon, CPUS, partitions=CPUS)
     queries["kg_e2e"] = round(kg_secs, 3)
     extras["kg"] = {
         "n_pages": n_pages, "n_triples": n_triples,
