@@ -25,6 +25,34 @@ def test_repartition_by_length(spark):
         assert lens == sorted(lens, reverse=True), pid
 
 
+def test_repartition_by_length_low_cardinality_parallelism(spark):
+    """Regression: range bounds are sampled from the partition key, so
+    ranging on bare length (few distinct values on web sentences)
+    capped the stage at ~#distinct partitions with one giant partition
+    — the 32-way neural stage silently ran ~7-wide. The hash tiebreaker
+    must deliver the REQUESTED partition count with bounded skew."""
+    from pyspark.sql import functions as F
+
+    from ner_pytorch_spark import datagen
+    from ner_pytorch_spark.operators.tagger import (repartition_by_length,
+                                                    sentences_table)
+
+    sents = sentences_table(datagen.pages_dataframe(spark, 400))
+    n_lengths = sents.select(F.size("tokens")).distinct().count()
+    n = 16
+    assert n_lengths < n  # the corpus genuinely has few length classes
+    out = repartition_by_length(sents, partitions=n).persist()
+    assert out.rdd.getNumPartitions() == n
+    counts = [r.n for r in
+              (out.withColumn("pid", F.spark_partition_id())
+               .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect())]
+    total = sum(counts)
+    # no partition holds more than ~3x its fair share (pre-fix: one
+    # partition held ~1/3 of ALL rows at any requested n)
+    assert len(counts) == n and max(counts) <= 3 * total / n
+    out.unpersist()
+
+
 def test_merge_tag_runs():
     from ner_pytorch_spark.operators.spans import merge_tag_runs
 
