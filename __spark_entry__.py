@@ -596,8 +596,13 @@ def q_kg_candidate_links(spark, sf_dir):
     tagged = tag_sentences(sentences_table(pages, lang="en"),
                            mode="gazetteer", aliases=_TESTDATA_ALIASES)
     mentions = mentions_table(tagged)
+    import numpy as np
+
+    # float64 embedder: the oracle ranks round(float64, 6); float32
+    # scores within rounding noise of a 1e-6 bin edge could flip a rank
     return candidate_links(mentions, _TESTDATA_ALIASES, k=3,
-                           embedder=Md5Embedder(16)).drop("score")
+                           embedder=Md5Embedder(16, dtype=np.float64)
+                           ).drop("score")
 
 
 def q_kg_entity_links(spark, sf_dir):
@@ -615,8 +620,11 @@ def q_kg_entity_links(spark, sf_dir):
     tagged = tag_sentences(sentences_table(pages, lang="en"),
                            mode="gazetteer", aliases=_TESTDATA_ALIASES)
     mentions = mentions_table(tagged)
+    import numpy as np
+
     return link_mentions(candidate_links(
-        mentions, _TESTDATA_ALIASES, k=3, embedder=Md5Embedder(16))).drop("score")
+        mentions, _TESTDATA_ALIASES, k=3,
+        embedder=Md5Embedder(16, dtype=np.float64))).drop("score")
 
 
 def q_kg_context_links(spark, sf_dir):
@@ -660,8 +668,11 @@ def q_kg_entity_nodes_checked(spark, sf_dir):
     tagged = tag_sentences(sentences_table(pages, lang="en"),
                            mode="gazetteer", aliases=_TESTDATA_ALIASES)
     mentions = mentions_table(tagged)
+    import numpy as np
+
     links = link_mentions(candidate_links(
-        mentions, _TESTDATA_ALIASES, k=3, embedder=Md5Embedder(16)))
+        mentions, _TESTDATA_ALIASES, k=3,
+        embedder=Md5Embedder(16, dtype=np.float64)))
     return entity_nodes_from_links(links)
 
 

@@ -31,6 +31,10 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType,
                                StructField, StructType)
 
 
+# most-recent cached IVF assignment (see ivf_topk): bounded at one
+_IVF_CACHED: DataFrame | None = None
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -239,8 +243,18 @@ def ivf_topk(
                 "probes": list(order[:, :n_probe].astype("int32")),
             })
 
+    # the assignment matmul feeds BOTH join sides (index + queries) and,
+    # with max_cell, the split-count aggregate — persist so one Arrow
+    # pass serves all consumers instead of recomputing per plan subtree.
+    # At most one IVF assignment stays cached per session (LRU below).
+    from pyspark import StorageLevel
+
     assigned = embeddings.select(id_col, emb_col).mapInPandas(
-        assign, assign_schema)
+        assign, assign_schema).persist(StorageLevel.MEMORY_AND_DISK)
+    global _IVF_CACHED
+    if _IVF_CACHED is not None:
+        _IVF_CACHED.unpersist(blocking=False)
+    _IVF_CACHED = assigned
     index = assigned.select("cell", F.col("vec_id").alias("neighbor_id"),
                             F.col("emb").alias("emb_b"))
     queries = assigned.select(

@@ -179,6 +179,9 @@ def gazetteer_decode(
     for b, toks in enumerate(tok_lists):
         g = np.asarray(
             gazetteer_tag_ids(toks, surface_index, tag_ids), dtype=np.int64)
+        if g.size == 0:          # empty sentence: nothing to decode
+            paths[b] = []
+            continue
         if (ok_start[g[0]] and ok_stop[g[-1]]
                 and (g.size < 2 or ok_pair[g[:-1], g[1:]].all())):
             paths[b] = g.tolist()

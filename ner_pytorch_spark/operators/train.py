@@ -179,9 +179,10 @@ def train_crf_head(
     ``average=True`` returns the AVERAGED head — the mean of the mixed
     head over epochs (epoch-level averaged perceptron, Collins 2002 /
     McDonald et al. 2010 §4). The late-epoch head drives the training
-    trajectory but memorizes the last mistakes it saw; the average
-    generalizes measurably better on held-out data (the adversarial
-    corpus gate trains with this on).
+    trajectory but memorizes the last mistakes it saw; the average can
+    generalize better on held-out data. The shipped adversarial-corpus
+    gate trains with the default (un-averaged) head plus unk_dropout,
+    which measured stronger on the OOV block.
     """
     sc = sentences.sparkSession.sparkContext
     tags = iobes_tags(entity_types)
