@@ -45,11 +45,14 @@ N_PAGES = max(200, int(SF * 500_000))  # FIXTURES.md: sf0.1 → 50k pages
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 # scaling input is sized so the 4N-CPU run is compute-dominated AND
 # each leg spans multiple noise minutes (the fused pipeline does ~5-7k
-# pages/core-sec; 32× SF → at the (4, 16) headline pair the hi leg is
-# ~18 s and the lo leg ~60 s — long enough that a single steal burst
-# can't own a whole measurement, and each child times best-of-2)
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", N_PAGES * 32))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
+# pages/core-sec). Round 4 doubled 32× → 64× SF: with partitions fixed
+# at 128 the per-task serial overhead (~10 ms/task ≈ 1.3 s) is a
+# CONSTANT absolute cost, so it bills the fast hi leg 4× the relative
+# efficiency it bills the lo leg — at 64× (lo ~75 s / hi ~20 s) that
+# structural penalty drops from ~5% to ~2.5%, and single steal bursts
+# own a smaller fraction of each measurement.
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", N_PAGES * 64))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
 
 
 def _new_spark(cores: int):
@@ -59,20 +62,22 @@ def _new_spark(cores: int):
                      shuffle_partitions=max(cores, 8))
 
 
-def _kg_pipeline(spark, pages, aliases, lexicon):
+def _kg_pipeline(spark, pages, aliases, lexicon, dp_free: bool = True):
     """pages → triples in ONE action via the fused hot path: a single
     Arrow crossing (sentence split + gazetteer match + CRF Viterbi +
     BIOES spans + pair gen in one mapInPandas) then filter + broadcast
-    lexicon join — zero exchanges."""
+    lexicon join — zero exchanges. ``dp_free=False`` forces full
+    Viterbi (instrumentation: quantifies the DP-free decode win)."""
     from ner_pytorch_spark.operators.tagger import (fused_triples,
                                                     pages_to_mention_pairs)
 
-    fused = pages_to_mention_pairs(pages, aliases)
+    fused = pages_to_mention_pairs(pages, aliases, dp_free=dp_free)
     return fused_triples(fused, lexicon).count()
 
 
 def _timed_kg(spark, n_pages, aliases, lexicon, cores, repeats: int = 3,
-              warm_frac: float | None = None, partitions: int | None = None):
+              warm_frac: float | None = None, partitions: int | None = None,
+              dp_free: bool = True):
     from ner_pytorch_spark import datagen
 
     # persist only the columns the fused path reads — the html binary is
@@ -89,11 +94,12 @@ def _timed_kg(spark, n_pages, aliases, lexicon, cores, repeats: int = 3,
     # child spends its wall budget on the measured run), then best-of-N
     # (the sandbox has large run-to-run CPU noise)
     warm = (pages.sample(warm_frac, seed=7) if warm_frac else pages)
-    _kg_pipeline(spark, warm, aliases, lexicon)
+    _kg_pipeline(spark, warm, aliases, lexicon, dp_free=dp_free)
     best, n_triples = 1e18, 0
     for _ in range(repeats):
         t0 = time.time()
-        n_triples = _kg_pipeline(spark, pages, aliases, lexicon)
+        n_triples = _kg_pipeline(spark, pages, aliases, lexicon,
+                                 dp_free=dp_free)
         best = min(best, time.time() - t0)
     pages.unpersist()
     return n, n_triples, best
@@ -115,11 +121,18 @@ def main():
     # 0.95 s at 32 cores (16 parts under-subscribes: 0.99 s)
     n_pages, n_triples, kg_secs = _timed_kg(
         spark, N_PAGES, aliases, lexicon, CPUS, partitions=CPUS)
+    # same job with the DP-free gazetteer decode forced OFF (full
+    # Viterbi): makes the shortcut's win reproducible from the artifact
+    _, _, kg_secs_dp_off = _timed_kg(
+        spark, N_PAGES, aliases, lexicon, CPUS, repeats=2,
+        partitions=CPUS, dp_free=False)
     queries["kg_e2e"] = round(kg_secs, 3)
     extras["kg"] = {
         "n_pages": n_pages, "n_triples": n_triples,
         "pages_per_sec": round(n_pages / kg_secs, 1),
         "triples_per_sec": round(n_triples / kg_secs, 1),
+        "dp_free_decode_secs": round(kg_secs, 3),
+        "full_viterbi_secs": round(kg_secs_dp_off, 3),
     }
 
     # ---- neural inference stage at reference hyperparameters
@@ -315,16 +328,23 @@ def main():
                     "efficiency_ceiling": round(mem_speedup / ratio, 3),
                 }
             if rounds:
+                def median(vals):
+                    v = sorted(vals)
+                    mid = len(v) // 2
+                    return v[mid] if len(v) % 2 else \
+                        (v[mid - 1] + v[mid]) / 2
+
                 # regime-paired normalized efficiency: median over
                 # rounds of (engine eff / same-round hardware ceiling)
-                norms = sorted(r["normalized"] for r in rounds)
-                mid = len(norms) // 2
                 block["efficiency_normalized"] = round(
-                    norms[mid] if len(norms) % 2 else
-                    (norms[mid - 1] + norms[mid]) / 2, 3)
+                    median(r["normalized"] for r in rounds), 3)
+                # median-of-rounds RAW efficiency — the skeptic's number
+                # (no cross-round best-leg pairing involved)
+                block["efficiency_median_rounds"] = round(
+                    median(r["efficiency"] for r in rounds), 3)
             return block
 
-        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1600"))
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1500"))
         lo = max(2, CPUS // 8)
         scaling = scaling_block(lo, lo * 4, SCALING_ROUNDS, budget)
         if scaling is not None:
@@ -353,14 +373,33 @@ def main():
     spark.stop()
 
     total = round(sum(queries.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "kg_e2e_plus_operator_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": SF,
         **extras,
-    }))
+    }
+    # FULL artifact (per-round scaling detail) → a committed file the
+    # driver's stdout tail can't truncate; stdout gets a COMPACT single
+    # line (round-3's full line overflowed the tail window and the
+    # driver recorded "parsed": null, losing every per-query number)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = dict(result)
+    if "scaling" in compact:
+        sc_c = dict(compact["scaling"])
+        sc_c["n_rounds"] = len(sc_c.pop("rounds", []))
+        if "full_box" in sc_c:
+            fb = dict(sc_c["full_box"])
+            fb.pop("rounds", None)
+            fb.pop("note", None)
+            sc_c["full_box"] = fb
+        sc_c["detail"] = "BENCH_LOCAL.json"
+        compact["scaling"] = sc_c
+    print(json.dumps(compact))
 
 
 def _scaling_child(cores: int, n_pages: int) -> None:

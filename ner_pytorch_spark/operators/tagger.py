@@ -199,6 +199,38 @@ def gazetteer_decode(
     return paths
 
 
+def gazetteer_viterbi(
+    tok_lists: list[list[str]],
+    surface_index: dict,
+    tag_ids: dict[str, int],
+    transitions: np.ndarray,
+) -> list[list[int]]:
+    """Gazetteer decode through the FULL Viterbi DP (no shortcut).
+
+    Semantically identical to :func:`gazetteer_decode` (differentially
+    tested); exists so the DP-free win is measurable from the bench
+    artifact (``bench.py`` times the fused path both ways) rather than
+    only claimed in prose.
+    """
+    from .crf import viterbi_decode
+
+    T = transitions.shape[0] - 2
+    nonempty = [(b, np.asarray(
+        gazetteer_tag_ids(toks, surface_index, tag_ids), dtype=np.int64))
+        for b, toks in enumerate(tok_lists) if toks]
+    paths: list[list[int]] = [[] for _ in tok_lists]
+    if nonempty:
+        L = max(g.size for _, g in nonempty)
+        em = np.zeros((len(nonempty), L, T), dtype=np.float32)
+        lens = np.asarray([g.size for _, g in nonempty], dtype=np.int64)
+        for k, (_, g) in enumerate(nonempty):
+            em[k, np.arange(g.size), g] = MATCH_SCORE
+        for (b, _), p in zip(nonempty,
+                             viterbi_decode(em, lens, transitions)):
+            paths[b] = p
+    return paths
+
+
 # ------------------------------------------------------------- tagging
 
 _TAGGED_SCHEMA = StructType([
@@ -349,8 +381,12 @@ def pages_to_mention_pairs(
     vocab: dict | None = None,
     char_vocab: dict | None = None,
     grammar_prior: bool | None = None,
+    dp_free: bool = True,
 ) -> DataFrame:
     """The 100 TB inference hot path: ONE Arrow crossing from pages.
+
+    ``dp_free=False`` forces the full Viterbi DP in gazetteer mode
+    (bench instrumentation; see :func:`gazetteer_viterbi`).
 
     JVM side does only the lang filter + projection (column pruning
     reaches the scan); python does everything row-local — line split,
@@ -376,6 +412,7 @@ def pages_to_mention_pairs(
         if aliases is None:
             raise ValueError("gazetteer mode needs aliases")
         payload["surface_index"] = build_surface_index(aliases)
+        payload["dp_free"] = dp_free
     elif mode == "neural":
         if weights is None or vocab is None or char_vocab is None:
             raise ValueError("neural mode needs weights + vocabs")
@@ -418,7 +455,8 @@ def pages_to_mention_pairs(
                 # real-Viterbi fallback); the unfused path keeps full
                 # Viterbi so the equivalence tests differentially
                 # verify this shortcut
-                paths = gazetteer_decode(
+                decode = gazetteer_decode if v["dp_free"] else gazetteer_viterbi
+                paths = decode(
                     tok_lists, v["surface_index"], v["tag_ids"], trans)
             else:
                 w: TaggerWeights = v["weights"]

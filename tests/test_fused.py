@@ -97,6 +97,31 @@ def test_fused_neural_matches_staged_neural(spark, corpus):
     assert a == b
 
 
+def test_fused_dp_free_off_matches_on(spark, corpus):
+    """dp_free=False (full Viterbi, the bench instrumentation path)
+    produces bit-identical fused output to the DP-free default."""
+    pages, aliases, _, fused = corpus
+    slow = pages_to_mention_pairs(pages, aliases, dp_free=False)
+    a = sorted(map(tuple, fused.collect()))
+    b = sorted(map(tuple, slow.collect()))
+    assert a == b
+
+
+def test_gazetteer_decode_empty_tokens():
+    """Public-precondition guard: empty token lists decode to []."""
+    from ner_pytorch_spark.operators.tagger import (build_surface_index,
+                                                    gazetteer_decode,
+                                                    gazetteer_viterbi)
+    from ner_pytorch_spark.operators.tagset import (grammar_transitions,
+                                                    tag_to_id)
+
+    sidx = build_surface_index(datagen.alias_rows())
+    tids = tag_to_id()
+    trans = grammar_transitions()
+    assert gazetteer_decode([[], ["Acme", "Corp"]], sidx, tids, trans)[0] == []
+    assert gazetteer_viterbi([[], ["Acme", "Corp"]], sidx, tids, trans)[0] == []
+
+
 def test_gazetteer_decode_matches_viterbi_and_falls_back():
     """The DP-free gazetteer decode == viterbi_decode on real matcher
     output, and an artificially INVALID candidate takes the Viterbi
