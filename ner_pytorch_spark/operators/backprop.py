@@ -130,8 +130,13 @@ def lstm_backward(dout, cache):
 
 # -------------------------------------------------------------- char CNN
 
-def char_cnn_cache(char_ids, char_emb, w, b):
-    """Forward of encoder.char_cnn with the argmax route kept."""
+def char_cnn_cache(char_ids, char_emb, w, b, pert=None):
+    """Forward of encoder.char_cnn with the argmax route kept.
+
+    ``pert`` (optional, [n, T0, c_dim]) is added to the embedded char
+    matrix AFTER lookup — the adversarial perturbation point
+    (/root/reference/model.py:118-120 adds the scaled normalized
+    gradient to ``chars_embeds`` before the conv)."""
     out_ch, K, c_dim = w.shape
     n = len(char_ids)
     reps = np.zeros((n, out_ch))
@@ -149,6 +154,8 @@ def char_cnn_cache(char_ids, char_emb, w, b):
         if ids:
             ids_mat[idx, pad:pad + len(ids)] = ids
     e = emb_aug[ids_mat]                               # [n, T0, c_dim]
+    if pert is not None:
+        e = e + pert
     T0 = e.shape[1]
     T1 = maxlen + pad
     conv = np.broadcast_to(b, (n, T1, out_ch)).copy()
@@ -169,7 +176,11 @@ def char_cnn_cache(char_ids, char_emb, w, b):
 
 
 def char_cnn_backward(dreps, cache):
-    """Max-pool routing + conv transpose; returns (d_char_emb, dw, db)."""
+    """Max-pool routing + conv transpose.
+
+    Returns (d_char_emb, dw, db, de) — ``de`` is the gradient w.r.t.
+    the embedded char matrix ``e`` itself (the adversarial-perturbation
+    direction; the scatter-add of ``de`` over ids is ``d_char_emb``)."""
     w, C, T1 = cache["w"], cache["C"], cache["T1"]
     out_ch, K, c_dim = w.shape
     e, amax, ids_mat = cache["e"], cache["amax"], cache["ids_mat"]
@@ -191,7 +202,7 @@ def char_cnn_backward(dreps, cache):
     flat_ids = ids_mat.ravel()
     keep = flat_ids < C                                # drop sentinel row
     np.add.at(d_char_emb, flat_ids[keep], de.reshape(-1, c_dim)[keep])
-    return d_char_emb, dw, db
+    return d_char_emb, dw, db, de
 
 
 # ------------------------------------------------------------------- CRF
@@ -260,7 +271,8 @@ _GRAD_KEYS = ("word_emb", "char_emb", "cnn_w", "cnn_b", "cap_emb",
 
 
 def loss_and_grads(weights: TaggerWeights, word_ids, char_ids, cap_ids,
-                   tag_ids, dropout: float = 0.0, rng=None):
+                   tag_ids, dropout: float = 0.0, rng=None,
+                   char_pert=None, want_input_grads: bool = False):
     """Mean CRF NLL over the batch + gradients for every trainable array.
 
     float64 throughout (the weights bundle is upcast by the caller).
@@ -269,6 +281,13 @@ def loss_and_grads(weights: TaggerWeights, word_ids, char_ids, cap_ids,
     char_mode CNN only — the LSTM char mode trains through the same
     lstm_backward but is not wired here (documented; CNN is the
     reference default).
+
+    ``char_pert``: additive perturbation for the embedded char matrix
+    (M10 seam; see :func:`adversarial_loss_and_grads`).
+    ``want_input_grads=True`` returns ``(nll, grads, char_input_grads)``
+    where ``char_input_grads`` is ∂NLL/∂(embedded char matrix) — the
+    array the adversarial direction is built from (zeros-shaped ``None``
+    when the batch has no chars).
     """
     B = len(word_ids)
     lengths = np.array([len(s) for s in word_ids], dtype=np.int64)
@@ -276,7 +295,8 @@ def loss_and_grads(weights: TaggerWeights, word_ids, char_ids, cap_ids,
     w_dim = weights.word_emb.shape[1]
     flat_chars = [cw for sent in char_ids for cw in sent]
     char_rep_flat, cnn_cache = char_cnn_cache(
-        flat_chars, weights.char_emb, weights.cnn_w, weights.cnn_b)
+        flat_chars, weights.char_emb, weights.cnn_w, weights.cnn_b,
+        pert=char_pert)
     c_dim = char_rep_flat.shape[1]
     cap_dim = weights.cap_emb.shape[1] if weights.cap_emb is not None else 0
     D = w_dim + c_dim + cap_dim
@@ -332,9 +352,10 @@ def loss_and_grads(weights: TaggerWeights, word_ids, char_ids, cap_ids,
     d_word_emb = np.zeros_like(weights.word_emb, dtype=np.float64)
     np.add.at(d_word_emb, flat_words, dx[rows, cols, :w_dim])
     d_char_flat = dx[rows, cols, w_dim:w_dim + c_dim]
+    d_e = None
     if cnn_cache is not None:
-        d_char_emb, d_cnn_w, d_cnn_b = char_cnn_backward(d_char_flat,
-                                                         cnn_cache)
+        d_char_emb, d_cnn_w, d_cnn_b, d_e = char_cnn_backward(d_char_flat,
+                                                              cnn_cache)
     else:
         d_char_emb = np.zeros_like(weights.char_emb, dtype=np.float64)
         d_cnn_w = np.zeros_like(weights.cnn_w, dtype=np.float64)
@@ -351,7 +372,65 @@ def loss_and_grads(weights: TaggerWeights, word_ids, char_ids, cap_ids,
         "lstm_bw_0": dwi_b, "lstm_bw_1": dwh_b, "lstm_bw_2": db_b,
         "proj_w": d_proj_w, "proj_b": d_proj_b, "transitions": d_trans,
     }
+    if want_input_grads:
+        return nll * scale, grads, d_e
     return nll * scale, grads
+
+
+# ------------------------------------------- M10 adversarial perturbation
+
+def adversarial_char_perturbation(char_input_grads, char_ids,
+                                  alpha: float) -> np.ndarray:
+    """The reference's gradient perturbation of the char embeddings
+    (/root/reference/model.py:106-120): L2-normalize the loss gradient
+    PER CHARACTER VECTOR (the commented-out norm at model.py:113 — the
+    ``_scale_unit_l2`` helper the reference calls is not defined
+    anywhere in its tree, so the comment is the only executable
+    specification), then scale by ``alpha * sqrt(total_chars_in_batch *
+    char_dim)`` (model.py:120). The reference also computes normalized
+    WORD-embedding gradients (model.py:114-116) but never applies them
+    to ``embeds`` (model.py:178-190) — dead code we deliberately do not
+    revive; only the char matrix is perturbed, matching what the
+    reference executes.
+    """
+    g = np.asarray(char_input_grads, dtype=np.float64)
+    ghat = g / (np.linalg.norm(g, axis=2, keepdims=True) + 1e-8)
+    total_chars = sum(len(cw) for cw in char_ids)
+    c_dim = g.shape[2]
+    return alpha * ghat * np.sqrt(total_chars * c_dim)
+
+
+def adversarial_loss_and_grads(weights: TaggerWeights, word_ids, char_ids,
+                               cap_ids, tag_ids, alpha: float,
+                               ratio: float = 0.5, dropout: float = 0.0,
+                               rng=None):
+    """M10: clean pass → perturb char embeddings along the normalized
+    loss gradient → adversarial pass → mix, exactly the reference's
+    ``loss = nll*(1-ratio) + nll_adv*ratio`` (train.py:473; ratio comes
+    from its WarmupWeight schedule, weight_scheduler.py:20-29 — the
+    caller supplies the scheduled value). The perturbation is treated
+    as a constant in the second backward (standard FGSM-style
+    adversarial training — torch's graph in the reference likewise
+    backprops through the perturbed FORWARD only, the grads tensor
+    having been produced by an earlier backward).
+
+    Returns (mixed_nll, mixed_grads, clean_nll, adv_nll).
+    """
+    flat_chars = [cw for sent in char_ids for cw in sent]
+    clean_nll, clean_grads, d_e = loss_and_grads(
+        weights, word_ids, char_ids, cap_ids, tag_ids,
+        dropout=dropout, rng=rng, want_input_grads=True)
+    if d_e is None or alpha == 0.0 or ratio == 0.0:
+        return clean_nll, clean_grads, clean_nll, clean_nll
+    pert = adversarial_char_perturbation(d_e, flat_chars, alpha)
+    adv_nll, adv_grads = loss_and_grads(
+        weights, word_ids, char_ids, cap_ids, tag_ids,
+        dropout=dropout, rng=rng, char_pert=pert)
+    mixed_nll = (1.0 - ratio) * clean_nll + ratio * adv_nll
+    mixed = {k: (None if g is None else
+                 (1.0 - ratio) * g + ratio * adv_grads[k])
+             for k, g in clean_grads.items()}
+    return mixed_nll, mixed, clean_nll, adv_nll
 
 
 # --------------------------------------------------------------- training
@@ -396,12 +475,15 @@ def _set_arrays(w: TaggerWeights, arrays: dict[str, np.ndarray]) -> TaggerWeight
 
 
 def sgd_partition_pass(pdf, weights: TaggerWeights, vocab, chars, unk,
-                       tag_ids, lr, clip, batch_size, dropout, seed):
+                       tag_ids, lr, clip, batch_size, dropout, seed,
+                       adv_alpha: float = 0.0, adv_ratio: float = 0.0):
     """One local SGD epoch over a partition's sentences.
 
     Mini-batches of `batch_size` sorted by length (padding economy),
     order shuffled deterministically; per-batch global-norm clipping at
-    `clip` (train.py:5.0). Returns (n_sentences, nll_sum, arrays)."""
+    `clip` (train.py:5.0). ``adv_alpha > 0`` trains on the M10 mixed
+    loss (:func:`adversarial_loss_and_grads`) with the given ratio.
+    Returns (n_sentences, nll_sum, arrays)."""
     from .tagger import featurize_sentence
 
     rng = np.random.default_rng([seed, len(pdf)])
@@ -421,8 +503,13 @@ def sgd_partition_pass(pdf, weights: TaggerWeights, vocab, chars, unk,
             ci.append(b)
             caps.append(c)
             tgs.append([tag_ids[t] for t in gold])
-        nll, grads = loss_and_grads(cur, wi, ci, caps, tgs,
-                                    dropout=dropout, rng=rng)
+        if adv_alpha and adv_ratio:
+            nll, grads, _, _ = adversarial_loss_and_grads(
+                cur, wi, ci, caps, tgs, alpha=adv_alpha, ratio=adv_ratio,
+                dropout=dropout, rng=rng)
+        else:
+            nll, grads = loss_and_grads(cur, wi, ci, caps, tgs,
+                                        dropout=dropout, rng=rng)
         nll_total += nll * len(chunk)
         gnorm = np.sqrt(sum(float((g ** 2).sum())
                             for g in grads.values() if g is not None))
@@ -451,12 +538,25 @@ def train_bilstm_crf(
     dropout: float = 0.5,
     entity_types: tuple[str, ...] = ENTITY_TYPES,
     seed: int = 42,
+    adv_alpha: float = 0.0,
+    adv_ratio: float = 0.5,
+    adv_warmup_epochs: int = 0,
 ) -> tuple[TaggerWeights, list[dict]]:
     """Distributed full-model SGD: per epoch each partition runs a local
     SGD pass from the broadcast weights and emits ONE delta row; deltas
     mix weighted by example counts (iterative parameter mixing — the
     same topology as the shipped perceptron trainer, now over every
     trainable array). Shuffle traffic per epoch = n_partitions rows.
+
+    ``adv_alpha > 0`` enables M10 adversarial training: each batch
+    takes a second forward on gradient-perturbed char embeddings and
+    trains on ``(1-ratio)*clean + ratio*adv`` (train.py:473). The
+    epoch-level ratio follows the reference's linear warmup
+    (weight_scheduler.py:24-26 WARMUP_STYLES[0], adapted from
+    per-iteration to per-epoch — the natural granularity under
+    parameter mixing, where partitions step independently):
+    ``ratio_e = adv_ratio * min(1, (epoch+1)/adv_warmup_epochs)``;
+    ``adv_warmup_epochs = 0`` means constant ratio.
 
     Returns (trained weights float32, per-epoch metrics)."""
     sc = sentences.sparkSession.sparkContext
@@ -471,6 +571,8 @@ def train_bilstm_crf(
 
     for epoch in range(epochs):
         bc = sc.broadcast({"w": cur, "vocab": vocab, "chars": char_vocab})
+        ratio_e = (adv_ratio if not adv_warmup_epochs else
+                   adv_ratio * min(1.0, (epoch + 1) / adv_warmup_epochs))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             v = bc.value
@@ -482,7 +584,8 @@ def train_bilstm_crf(
                 return
             n, nll, arrays = sgd_partition_pass(
                 pdf, v["w"], v["vocab"], v["chars"], unk, tag_ids,
-                lr, clip, batch_size, dropout, seed + epoch)
+                lr, clip, batch_size, dropout, seed + epoch,
+                adv_alpha=adv_alpha, adv_ratio=ratio_e)
             base = _get_arrays(v["w"])
             row = {"n_sentences": [n], "nll": [nll]}
             for k in _GRAD_KEYS:

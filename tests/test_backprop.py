@@ -7,10 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from ner_pytorch_spark import datagen
-from ner_pytorch_spark.operators.backprop import (_get_arrays, _to_f64,
-                                                  loss_and_grads,
-                                                  lstm_forward_cache,
-                                                  train_bilstm_crf)
+from ner_pytorch_spark.operators.backprop import (
+    _get_arrays, _to_f64, adversarial_char_perturbation,
+    adversarial_loss_and_grads, loss_and_grads, lstm_forward_cache,
+    train_bilstm_crf)
 from ner_pytorch_spark.operators.encoder import TaggerWeights, lstm_forward
 from ner_pytorch_spark.operators.tagset import iobes_tags
 
@@ -89,6 +89,92 @@ def test_dropout_grads_consistent():
     for k, arr in _get_arrays(w).items():
         if arr is not None:
             assert grads[k].shape == arr.shape, k
+
+
+def test_adversarial_pert_grads_match_finite_differences():
+    """M10 plumbing: with a FIXED char perturbation applied, the
+    parameter gradients are still exact (central differences at the
+    perturbed point). This is the fd check the perturbed second pass of
+    adversarial training relies on."""
+    w = _tiny_weights()
+    rng = np.random.default_rng(2)
+    T = len(iobes_tags())
+    tag_ids = [list(rng.integers(0, T, size=len(s))) for s in _WORDS]
+    # first pass just to learn the embedded-matrix shape
+    _, _, d_e = loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids,
+                               want_input_grads=True)
+    pert = 0.05 * rng.standard_normal(d_e.shape)
+
+    def loss():
+        return loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids,
+                              char_pert=pert)[0]
+
+    nll, grads = loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids,
+                                char_pert=pert)
+    assert np.isfinite(nll)
+    eps = 1e-6
+    for k in ("char_emb", "cnn_w", "word_emb", "transitions"):
+        arr = _get_arrays(w)[k]
+        for _ in range(4):
+            idx = tuple(rng.integers(0, s) for s in arr.shape)
+            orig = arr[idx]
+            arr[idx] = orig + eps
+            lp = loss()
+            arr[idx] = orig - eps
+            lm = loss()
+            arr[idx] = orig
+            fd = (lp - lm) / (2 * eps)
+            an = grads[k][idx]
+            assert abs(fd - an) <= 1e-4 * max(1.0, abs(fd), abs(an)), \
+                (k, idx, fd, an)
+
+
+def test_adversarial_perturbation_increases_loss():
+    """The perturbation direction is gradient ASCENT: for a small alpha
+    the adversarial pass must cost at least the clean pass."""
+    w = _tiny_weights(seed=4)
+    rng = np.random.default_rng(6)
+    T = len(iobes_tags())
+    tag_ids = [list(rng.integers(0, T, size=len(s))) for s in _WORDS]
+    mixed, grads, clean, adv = adversarial_loss_and_grads(
+        w, _WORDS, _CHARS, _CAPS, tag_ids, alpha=0.01, ratio=0.5)
+    assert adv > clean
+    assert clean < mixed < adv
+    for k, arr in _get_arrays(w).items():
+        if arr is not None:
+            assert grads[k].shape == arr.shape, k
+
+
+def test_adversarial_scale_matches_reference_formula():
+    """Per-vector perturbation magnitude = alpha * sqrt(Σ chars * dim)
+    (model.py:120), direction = per-vector-normalized gradient."""
+    rng = np.random.default_rng(8)
+    g = rng.standard_normal((3, 7, 4))
+    flat_chars = [[1, 2], [3], [4, 5, 6]]
+    alpha = 0.02
+    pert = adversarial_char_perturbation(g, flat_chars, alpha)
+    want = alpha * np.sqrt(6 * 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(pert, axis=2), np.full((3, 7), want), rtol=1e-6)
+    # direction parallel to g
+    cos = (pert * g).sum(axis=2) / (
+        np.linalg.norm(pert, axis=2) * np.linalg.norm(g, axis=2))
+    np.testing.assert_allclose(cos, np.ones((3, 7)), rtol=1e-6)
+
+
+def test_adversarial_ratio_zero_is_clean():
+    """alpha=0 or ratio=0 short-circuits to the plain loss/grads."""
+    w = _tiny_weights(seed=5)
+    rng = np.random.default_rng(7)
+    T = len(iobes_tags())
+    tag_ids = [list(rng.integers(0, T, size=len(s))) for s in _WORDS]
+    nll0, g0 = loss_and_grads(w, _WORDS, _CHARS, _CAPS, tag_ids)
+    mixed, gm, clean, adv = adversarial_loss_and_grads(
+        w, _WORDS, _CHARS, _CAPS, tag_ids, alpha=0.0, ratio=0.5)
+    assert mixed == nll0 == clean == adv
+    for k, v in g0.items():
+        if v is not None:
+            np.testing.assert_array_equal(gm[k], v)
 
 
 @pytest.fixture(scope="module")
@@ -173,6 +259,44 @@ def test_trained_neural_pipeline_meets_triple_gate(spark, tmp_path):
     tp = len(got & want)
     assert tp / max(len(got), 1) >= 0.95    # precision (measured 1.0)
     assert tp / max(len(want), 1) >= 0.95   # recall (measured 1.0)
+
+
+def test_adversarial_training_beats_plain_on_oov(spark):
+    """M10 robustness gate (mirrors the kg_adv_train driver query): at
+    mid-training the adversarially-trained model outscores plain SGD on
+    the held-out OOV block. Seeded/deterministic; measured 0.79 vs 0.67."""
+    from ner_pytorch_spark.operators.evaluation import chunk_prf
+    from ner_pytorch_spark.operators.tagger import tag_sentences
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+
+    sents = datagen.adversarial_sentences_dataframe(
+        spark, 200, oov_from=150).persist()
+    train = sents.filter(F.col("page_idx") < 150)
+    test = sents.filter(F.col("page_idx") >= 150)
+    v, cv = build_vocab(train, min_count=1), char_vocab(train)
+    t2i = {r["token"]: r["id"] for r in v.collect()}
+    c2i = {r["token"]: r["id"] for r in cv.collect()}
+
+    def f1(alpha, ratio):
+        w0 = TaggerWeights.random_init(
+            max(t2i.values()) + 1, max(c2i.values()) + 1,
+            num_tags=len(iobes_tags()), word_dim=32, char_dim=8,
+            char_out=12, hidden=32, seed=7)
+        tr, _ = train_bilstm_crf(train.repartition(4), w0, t2i, c2i,
+                                 epochs=25, lr=0.2, batch_size=8,
+                                 dropout=0.5, adv_alpha=alpha,
+                                 adv_ratio=ratio)
+        tagged = tag_sentences(test.select("url", "sent_id", "tokens"),
+                               mode="neural", weights=tr,
+                               vocab=t2i, char_vocab=c2i)
+        rows = {r.tag_type: r for r in chunk_prf(tagged.join(
+            test.select("url", "sent_id", "gold_tags"),
+            on=["url", "sent_id"])).collect()}
+        return rows["OVERALL"].f1
+
+    plain, adv = f1(0.0, 0.0), f1(0.05, 0.5)
+    sents.unpersist()
+    assert adv > plain, (adv, plain)
 
 
 def test_backprop_checkpoint_roundtrip(tmp_path, backprop_bundle):
