@@ -43,6 +43,85 @@ def test_streaming_dedup(spark, tmp_path):
     assert ("u1", "changed") not in rows  # identical re-crawl suppressed
 
 
+class _FakeState:
+    def __init__(self, tup=None):
+        self._t = tup
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, tup):
+        self._t = tup
+
+
+def _run_fn(fn, state, rows_chunks):
+    import pandas as pd
+
+    out = list(fn((1,), (pd.DataFrame(c, columns=["epoch", "event_id"])
+                         for c in rows_chunks), state))
+    return (pd.concat(out, ignore_index=True) if out else
+            pd.DataFrame(columns=["user_id", "session_id", "n_events",
+                                  "duration_secs"]))
+
+
+def test_sessions_fn_vectorized_semantics():
+    """Direct group-fn check: multi-chunk out-of-order input, carried
+    open-session continuation, and new-session splits all reproduce the
+    scalar-reference segmentation."""
+    from ner_pytorch_spark.streaming.stateful import _make_sessions_fn
+
+    fn = _make_sessions_fn(1800)
+    # batch 1 from empty state: chunks arrive out of order
+    st = _FakeState()
+    out = _run_fn(fn, st, [[(2100, 3)], [(0, 1), (100, 2)]])
+    got = {(r.session_id, r.n_events, r.duration_secs)
+           for r in out.itertuples()}
+    assert got == {(1, 2, 100), (2, 1, 0)}
+    assert st.get == (2, 2100, 2100, 1)
+    # batch 2 continues session 2 across the seam, then opens session 3
+    out = _run_fn(fn, st, [[(2200, 4), (10000, 5)]])
+    got = {(r.session_id, r.n_events, r.duration_secs)
+           for r in out.itertuples()}
+    assert got == {(2, 2, 100), (3, 1, 0)}
+    assert st.get == (3, 10000, 10000, 1)
+    # empty batch leaves state intact
+    out = _run_fn(fn, st, [])
+    assert len(out) == 0 and st.get == (3, 10000, 10000, 1)
+
+
+def test_sessions_fn_hot_key_not_per_event_python():
+    """≥100k-event single-key micro-batch: the vectorized segmentation
+    must be far from per-event-Python cost (the old iterrows loop took
+    tens of seconds here; cumsum does it in milliseconds — the 2 s
+    bound leaves 100x headroom against CI noise)."""
+    import time
+
+    import numpy as np
+
+    from ner_pytorch_spark.streaming.stateful import _make_sessions_fn
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    gaps = rng.integers(1, 60, size=n)
+    gaps[rng.random(n) < 0.001] = 4000       # ~200 session breaks
+    epochs = np.cumsum(gaps)
+    rows = list(zip(epochs.tolist(), range(n)))
+    fn = _make_sessions_fn(1800)
+    st = _FakeState()
+    t0 = time.time()
+    out = _run_fn(fn, st, [rows])
+    secs = time.time() - t0
+    assert int(out["n_events"].sum()) == n
+    assert (out["session_id"].to_numpy()
+            == np.arange(1, len(out) + 1)).all()
+    assert secs < 2.0, secs
+
+
 def test_streaming_sessions_match_batch(spark, tmp_path):
     """Gap sessionization: the streaming stateful operator (update
     semantics, last row per (user, session)) converges to exactly the
