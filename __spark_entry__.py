@@ -580,6 +580,80 @@ def q_kg_triples_parsed(spark, sf_dir):
     return parsed_arc_triples(parsed, verb_lexicon=_PARSE_VLEX)
 
 
+def q_kg_triples_conj(spark, sf_dir):
+    """Conjunction propagation (C6 extension), oracle-checked: the fake
+    parse now emits REAL conj chains — per verb group, the pre-verb
+    token nearest the verb anchors as nsubj and earlier group members
+    chain to it via conj; the first post-verb token anchors as obj with
+    later members chained; each verb after the first heads at the
+    previous verb as conj (the reference's subtree linearization
+    shape, projection.py:48-96). parsed_arc_triples(conj_propagate=
+    True) must do two-hop HOF resolution (dependent conj expansion +
+    verb-level subject/object inheritance) to recover the groups; the
+    DuckDB oracle replays group membership and one-hop inheritance
+    relationally, so a broken conj walk hash-fails."""
+    from ner_pytorch_spark.operators.tagger import sentences_table, tag_sentences
+    from ner_pytorch_spark.operators.triples import parsed_arc_triples
+
+    from pyspark.sql.functions import pandas_udf
+
+    pages = _docs_as_pages(spark, sf_dir)
+    tagged = tag_sentences(sentences_table(pages, lang="en"),
+                           mode="gazetteer", aliases=_TESTDATA_ALIASES)
+
+    # arcs built in ONE Arrow crossing. A pure-JVM HOF construction was
+    # tried first and is quadratically slow: Catalyst's projection
+    # collapse inlines the nearest-verb array into every anchor lambda
+    # reference, recomputing it per (token, candidate-position) pair.
+    # The parse builder is driver-query scaffolding (a real cluster
+    # feeds UDPipe output); the CONSUMER under test stays pure-JVM HOFs.
+    verbs = set(_PARSE_VERBS)
+
+    @pandas_udf("array<struct<id:int,head:int,deprel:string,upos:string>>")
+    def fake_conj_parse(tok_series):
+        import pandas as pd
+
+        out = []
+        for toks in tok_series:
+            n = len(toks)
+            vpos = [i for i, t in enumerate(toks) if t in verbs]
+            vset = set(vpos)
+            # nearest verb (tie → earlier) per non-verb token
+            nv = [None] * n
+            for i in range(n):
+                if i not in vset and vpos:
+                    nv[i] = min(vpos, key=lambda v: (abs(i - v), v))
+            pre = {v: [i for i in range(n) if nv[i] == v and i < v]
+                   for v in vpos}
+            post = {v: [i for i in range(n) if nv[i] == v and i > v]
+                    for v in vpos}
+            arcs = []
+            for i, t in enumerate(toks):
+                if i in vset:
+                    prev = max((v for v in vpos if v < i), default=None)
+                    arcs.append((i + 1, 0 if prev is None else prev + 1,
+                                 "root" if prev is None else "conj",
+                                 "VERB"))
+                elif nv[i] is None:
+                    arcs.append((i + 1, 0, "dep", "NOUN"))
+                elif i < nv[i]:
+                    anchor = pre[nv[i]][-1]   # nearest pre-token = nsubj
+                    arcs.append((i + 1, nv[i] + 1, "nsubj", "NOUN")
+                                if i == anchor else
+                                (i + 1, anchor + 1, "conj", "NOUN"))
+                else:
+                    anchor = post[nv[i]][0]   # first post-token = obj
+                    arcs.append((i + 1, nv[i] + 1, "obj", "NOUN")
+                                if i == anchor else
+                                (i + 1, anchor + 1, "conj", "NOUN"))
+            out.append(arcs)
+        return pd.Series(out)
+
+    parsed = tagged.withColumn("arcs", fake_conj_parse(F.col("tokens")))
+    return parsed_arc_triples(parsed, verb_lexicon=_PARSE_VLEX,
+                              conj_propagate=True)
+
+
 def q_kg_candidate_links(spark, sf_dir):
     """Oracle-checked candidate generation (J4): top-k cosine against the
     broadcast alias bank with an md5-derived (SQL-recomputable) embedding
@@ -911,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_cooc": q_kg_triples_cooc,
         "kg_triples_arc": q_kg_triples_arc,
         "kg_triples_parsed": q_kg_triples_parsed,
+        "kg_triples_conj": q_kg_triples_conj,
         "kg_triples_pattern": q_kg_triples_pattern,
         "kg_triples_arc_checked": q_kg_triples_arc_checked,
         "kg_entity_links": q_kg_entity_links,
@@ -1533,6 +1608,82 @@ obj AS (
   FROM nv n JOIN ments m ON m.url = n.url AND m.sent_id = n.sent_id
    AND n.pos1 >= m.m_start AND n.pos1 < m.m_start + m.m_len
   WHERE n.pos1 > n.vpos),
+vlex(verb, pred) AS (SELECT * FROM (VALUES
+  ('scan','scans'),('query','queries'),('stream','streams')) v)
+SELECT DISTINCT s.url, s.sent_id,
+       s.surface AS subj_surface, s.tag_type AS subj_type,
+       l.pred,
+       o.surface AS obj_surface, o.tag_type AS obj_type,
+       s.mention_id AS subj_mention_id, o.mention_id AS obj_mention_id
+FROM subj s
+JOIN obj o ON o.url = s.url AND o.sent_id = s.sent_id AND o.vpos = s.vpos
+JOIN verbs v ON v.url = s.url AND v.sent_id = s.sent_id AND v.vpos = s.vpos
+JOIN vlex l ON l.verb = v.verb
+WHERE s.mention_id <> o.mention_id""",
+        # conj-propagation oracle: group membership (pre/post token
+        # sets per verb via the nearest-verb rule) and ONE-HOP verb
+        # inheritance (own group if nonempty, else the previous —
+        # conj-head — verb's group) replayed relationally; the Spark
+        # side must walk the actual conj chains to reproduce this
+        "kg_triples_conj": _KG_MENTIONS_CTE + """,
+ments AS (
+  SELECT url, CAST(sent_id AS INT) AS sent_id,
+         CAST(row_number() OVER (PARTITION BY url, sent_id ORDER BY m_start) - 1 AS INT)
+           AS mention_id,
+         m_start, m_len, m_type AS tag_type, m_surface AS surface
+  FROM matches),
+tokpos AS (
+  SELECT url, sent_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS pos1
+  FROM sents),
+verbs AS (
+  SELECT url, sent_id, pos1 AS vpos, token AS verb,
+         lag(pos1) OVER (PARTITION BY url, sent_id ORDER BY pos1)
+           AS prev_vpos
+  FROM tokpos WHERE token IN ('scan', 'query', 'stream')),
+nv AS (
+  SELECT url, sent_id, pos1, vpos FROM (
+    SELECT t.url, t.sent_id, t.pos1, v.vpos,
+           row_number() OVER (PARTITION BY t.url, t.sent_id, t.pos1
+                              ORDER BY abs(t.pos1 - v.vpos), v.vpos) AS rn
+    FROM tokpos t
+    JOIN verbs v ON v.url = t.url AND v.sent_id = t.sent_id
+    WHERE t.token NOT IN ('scan', 'query', 'stream'))
+  WHERE rn = 1),
+pre AS (SELECT url, sent_id, vpos, pos1 FROM nv WHERE pos1 < vpos),
+post AS (SELECT url, sent_id, vpos, pos1 FROM nv WHERE pos1 > vpos),
+vsubj AS (
+  SELECT v.url, v.sent_id, v.vpos, p.pos1
+  FROM verbs v JOIN pre p
+    ON p.url = v.url AND p.sent_id = v.sent_id AND p.vpos = v.vpos
+  UNION ALL
+  SELECT v.url, v.sent_id, v.vpos, p.pos1
+  FROM verbs v JOIN pre p
+    ON p.url = v.url AND p.sent_id = v.sent_id AND p.vpos = v.prev_vpos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pre p2 WHERE p2.url = v.url AND p2.sent_id = v.sent_id
+      AND p2.vpos = v.vpos)),
+vobj AS (
+  SELECT v.url, v.sent_id, v.vpos, p.pos1
+  FROM verbs v JOIN post p
+    ON p.url = v.url AND p.sent_id = v.sent_id AND p.vpos = v.vpos
+  UNION ALL
+  SELECT v.url, v.sent_id, v.vpos, p.pos1
+  FROM verbs v JOIN post p
+    ON p.url = v.url AND p.sent_id = v.sent_id AND p.vpos = v.prev_vpos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM post p2 WHERE p2.url = v.url AND p2.sent_id = v.sent_id
+      AND p2.vpos = v.vpos)),
+subj AS (
+  SELECT DISTINCT s.url, s.sent_id, s.vpos, m.mention_id, m.surface,
+                  m.tag_type
+  FROM vsubj s JOIN ments m ON m.url = s.url AND m.sent_id = s.sent_id
+   AND s.pos1 >= m.m_start AND s.pos1 < m.m_start + m.m_len),
+obj AS (
+  SELECT DISTINCT o.url, o.sent_id, o.vpos, m.mention_id, m.surface,
+                  m.tag_type
+  FROM vobj o JOIN ments m ON m.url = o.url AND m.sent_id = o.sent_id
+   AND o.pos1 >= m.m_start AND o.pos1 < m.m_start + m.m_len),
 vlex(verb, pred) AS (SELECT * FROM (VALUES
   ('scan','scans'),('query','queries'),('stream','streams')) v)
 SELECT DISTINCT s.url, s.sent_id,

@@ -170,7 +170,8 @@ def parsed_arc_triples(parsed: DataFrame,
                        verb_lexicon: dict[str, str] | None = None,
                        subj_rels: tuple[str, ...] = ("nsubj", "nsubj:pass"),
                        obj_rels: tuple[str, ...] = ("obj", "iobj", "obl"),
-                       arcs_col: str = "arcs") -> DataFrame:
+                       arcs_col: str = "arcs",
+                       conj_propagate: bool = False) -> DataFrame:
     """C6 completion path: triples from a PRE-PARSED dependency column.
 
     The reference's arcs come from an actual UDPipe parse whose tokens
@@ -193,6 +194,22 @@ def parsed_arc_triples(parsed: DataFrame,
     is row-local higher-order-function work — the physical plan is
     scan → spans UDF → posexplode → (broadcast join) → explode ×2 →
     project, zero exchanges, same 100 TB shape as the fallback path.
+
+    ``conj_propagate=True`` adds the conjunction distribution the
+    reference's tree walk gets by linearizing whole subtrees
+    (/root/reference/dependency_paraphraser/projection.py:48-96):
+
+    * dependent-level — each subj/obj dependent token brings its own
+      ``conj`` children ("founded Acme and Beta" → both orgs are
+      objects; "Alice and Bob founded" → both are subjects; UD attaches
+      every later conjunct to the FIRST, so one hop covers chains);
+    * verb-level — a verb with no own dependents of the requested kind
+      that hangs off another VERB via ``conj`` inherits that verb's
+      (conj-expanded) dependents ("Alice founded Acme and acquired
+      Beta" → Alice is also the subject of *acquired*; a conjunct with
+      its OWN subject keeps it and inherits nothing).
+
+    Still entirely row-local HOFs; the plan shape is unchanged.
     """
     from .spans import extract_spans_udf
 
@@ -212,6 +229,8 @@ def parsed_arc_triples(parsed: DataFrame,
         .select(
             "url", "sent_id", "spans", "arcs",
             F.col("arc.id").alias("verb_id"),
+            F.col("arc.head").alias("verb_head"),
+            F.col("arc.deprel").alias("verb_deprel"),
             F.lower(F.element_at("tokens", F.col("arc.id"))).alias("verb"))
     )
     if verb_lexicon:
@@ -223,12 +242,34 @@ def parsed_arc_triples(parsed: DataFrame,
     else:
         verbs = verbs.withColumn("pred", F.col("verb"))
 
+    def raw_deps(rels: tuple[str, ...], head_col):
+        return F.filter(
+            "arcs", lambda a: (a["head"] == head_col)
+            & a["deprel"].isin(*rels))
+
+    def with_conj(deps):
+        # each dependent brings its own conj children (UD chains are
+        # flat: every later conjunct heads at the first → one hop)
+        kids = F.flatten(F.transform(
+            deps, lambda d: F.filter(
+                "arcs", lambda c: (c["head"] == d["id"])
+                & (c["deprel"] == "conj"))))
+        return F.concat(deps, kids)
+
     def dependents(rels: tuple[str, ...]):
         # mentions containing a token whose arc points at this verb with
         # one of `rels`; arc ids are 1-based → token position = id - 1
-        deps = F.filter(
-            "arcs", lambda a: (a["head"] == F.col("verb_id"))
-            & a["deprel"].isin(*rels))
+        deps = raw_deps(rels, F.col("verb_id"))
+        if conj_propagate:
+            deps = with_conj(deps)
+            parent = F.get(F.filter(
+                "arcs", lambda a: a["id"] == F.col("verb_head")), 0)
+            inherited = with_conj(raw_deps(rels, F.col("verb_head")))
+            deps = F.when(
+                (F.size(deps) == 0)
+                & (F.col("verb_deprel") == "conj")
+                & (parent["upos"] == "VERB"),
+                inherited).otherwise(deps)
         ments = F.transform(deps, lambda a: F.get(F.filter(
             "spans", lambda m: (m["start"] <= a["id"] - 1)
             & (a["id"] - 1 < m["end"])), 0))
@@ -237,6 +278,7 @@ def parsed_arc_triples(parsed: DataFrame,
     return (
         verbs.select(
             "url", "sent_id", "pred", "spans", "arcs", "verb_id",
+            "verb_head", "verb_deprel",
             F.explode(dependents(subj_rels)).alias("s"))
         .select("url", "sent_id", "pred", "s",
                 F.explode(dependents(obj_rels)).alias("o"))

@@ -87,6 +87,86 @@ def test_parsed_arc_mention_ids_and_dedup(parsed_df):
     assert len(keys) == len(set(keys))
 
 
+@pytest.fixture()
+def conj_df(spark):
+    rows = [
+        # "Alice founded Acme and acquired Beta" — conjoined VERBS:
+        # acquired (conj→founded) has no own subject → inherits Alice
+        ("c1", 0,
+         ["Alice", "founded", "Acme", "and", "acquired", "Beta"],
+         ["S-PER", "O", "S-ORG", "O", "O", "S-ORG"],
+         [_arc(1, 2, "nsubj", "PROPN"), _arc(2, 0, "root", "VERB"),
+          _arc(3, 2, "obj", "PROPN"), _arc(4, 5, "cc", "CCONJ"),
+          _arc(5, 2, "conj", "VERB"), _arc(6, 5, "obj", "PROPN")]),
+        # "Alice founded Acme and Beta" — conjoined OBJECTS (UD: Beta
+        # heads at the first conjunct Acme)
+        ("c2", 0,
+         ["Alice", "founded", "Acme", "and", "Beta"],
+         ["S-PER", "O", "S-ORG", "O", "S-ORG"],
+         [_arc(1, 2, "nsubj", "PROPN"), _arc(2, 0, "root", "VERB"),
+          _arc(3, 2, "obj", "PROPN"), _arc(4, 5, "cc", "CCONJ"),
+          _arc(5, 3, "conj", "PROPN")]),
+        # "Alice and Bob founded Acme" — conjoined SUBJECTS
+        ("c3", 0,
+         ["Alice", "and", "Bob", "founded", "Acme"],
+         ["S-PER", "O", "S-PER", "O", "S-ORG"],
+         [_arc(1, 4, "nsubj", "PROPN"), _arc(2, 3, "cc", "CCONJ"),
+          _arc(3, 1, "conj", "PROPN"), _arc(4, 0, "root", "VERB"),
+          _arc(5, 4, "obj", "PROPN")]),
+        # "Alice founded Acme and Bob acquired Beta" — the second
+        # conjunct has its OWN subject → inherits nothing
+        ("c4", 0,
+         ["Alice", "founded", "Acme", "and", "Bob", "acquired", "Beta"],
+         ["S-PER", "O", "S-ORG", "O", "S-PER", "O", "S-ORG"],
+         [_arc(1, 2, "nsubj", "PROPN"), _arc(2, 0, "root", "VERB"),
+          _arc(3, 2, "obj", "PROPN"), _arc(4, 6, "cc", "CCONJ"),
+          _arc(5, 6, "nsubj", "PROPN"), _arc(6, 2, "conj", "VERB"),
+          _arc(7, 6, "obj", "PROPN")]),
+    ]
+    return spark.createDataFrame(rows, ARC_SCHEMA)
+
+
+def test_conj_propagation_off_is_unchanged(conj_df):
+    got = {(r.url, r.subj_surface, r.pred, r.obj_surface)
+           for r in parsed_arc_triples(conj_df).collect()}
+    assert got == {
+        ("c1", "Alice", "founded", "Acme"),
+        ("c2", "Alice", "founded", "Acme"),
+        ("c3", "Alice", "founded", "Acme"),
+        ("c4", "Alice", "founded", "Acme"),
+        ("c4", "Bob", "acquired", "Beta"),
+    }
+
+
+def test_conj_propagation_goldens(conj_df):
+    got = {(r.url, r.subj_surface, r.pred, r.obj_surface)
+           for r in parsed_arc_triples(conj_df,
+                                       conj_propagate=True).collect()}
+    assert got == {
+        # verb conj: subject distributes over the conjoined verb
+        ("c1", "Alice", "founded", "Acme"),
+        ("c1", "Alice", "acquired", "Beta"),
+        # object conj: both conjuncts are objects
+        ("c2", "Alice", "founded", "Acme"),
+        ("c2", "Alice", "founded", "Beta"),
+        # subject conj: both conjuncts are subjects
+        ("c3", "Alice", "founded", "Acme"),
+        ("c3", "Bob", "founded", "Acme"),
+        # own subject wins — no cross-inheritance
+        ("c4", "Alice", "founded", "Acme"),
+        ("c4", "Bob", "acquired", "Beta"),
+    }
+
+
+def test_conj_propagation_keeps_plan_shape(conj_df):
+    plan = (parsed_arc_triples(conj_df, verb_lexicon={"founded": "x"},
+                               conj_propagate=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, plan
+
+
 def test_parsed_arc_plan_shape(parsed_df):
     """All arc/mention resolution is row-local: the lexicon join is
     broadcast and the only exchange in the plan is the final
