@@ -27,8 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (DoubleType, IntegerType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
 
 
 # most-recent cached IVF assignment (see ivf_topk): bounded at one
@@ -155,12 +155,7 @@ def kmeans_codebook(embeddings: DataFrame, n_cells: int,
     smallest-id codebook; this is the cell-balance upgrade for real
     clustered embeddings.
     """
-    rows = (embeddings.select(id_col, emb_col)
-            .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")),
-                            F.lit(1_000_003)), id_col)
-            .limit(sample).collect())
-    x = np.array([r[1] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = _codebook_sample(embeddings, id_col, emb_col, sample)
     rng = np.random.default_rng(seed)
     cents = x[rng.permutation(len(x))[:n_cells]].copy()
     for _ in range(iters):
@@ -168,7 +163,86 @@ def kmeans_codebook(embeddings: DataFrame, n_cells: int,
         for ci in range(n_cells):
             m = assign == ci
             if m.any():
-                v = x[m].mean(axis=0)
+                v = x[m].sum(axis=0) / m.sum()
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cents[ci] = v / n
+    return cents
+
+
+def _codebook_sample(embeddings: DataFrame, id_col: str, emb_col: str,
+                     sample: int) -> np.ndarray:
+    """Hash-ordered ≤``sample`` rows, L2-normalized float64."""
+    rows = (embeddings.select(id_col, emb_col)
+            .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                            F.lit(1_000_003)), id_col)
+            .limit(sample).collect())
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def kmeans_codebook_distributed(embeddings: DataFrame, n_cells: int,
+                                id_col: str = "vec_id",
+                                emb_col: str = "embedding",
+                                sample: int = 4096, iters: int = 10,
+                                seed: int = 42) -> np.ndarray:
+    """Cluster-scale Lloyd loop: the driver holds ONLY the ``[n_cells,
+    d]`` codebook; per iteration each partition computes cosine
+    assignments against the broadcast centroids in one Arrow matmul and
+    emits ONE partial-sums row (``n_cells`` flattened sums + counts) —
+    the parameter-mixing delta-row topology, shuffle-free. Centroid
+    update (sum/count, re-normalize, empty cells keep their centroid)
+    happens driver-side on the reduced partials.
+
+    Initialization is IDENTICAL to :func:`kmeans_codebook` (same
+    hash-ordered sample, same seeded permutation), so on inputs that
+    fit the sample the two produce the same codebook (tested at
+    n_cells=64); past sample size this one keeps iterating over the
+    FULL corpus where the driver version clips to its sample.
+    """
+    sc = embeddings.sparkSession.sparkContext
+    x0 = _codebook_sample(embeddings, id_col, emb_col, sample)
+    rng = np.random.default_rng(seed)
+    cents = x0[rng.permutation(len(x0))[:n_cells]].copy()
+    d = cents.shape[1]
+    schema = StructType([
+        StructField("sums", ArrayType(DoubleType())),
+        StructField("counts", ArrayType(LongType())),
+    ])
+    data = embeddings.select(emb_col)
+    for _ in range(iters):
+        bc = sc.broadcast(cents)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            sums = np.zeros((n_cells, d))
+            counts = np.zeros(n_cells, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                q = np.array(list(pdf[emb_col]), dtype=np.float64)
+                q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                                1e-12)
+                assign = (q @ c.T).argmax(axis=1)
+                np.add.at(sums, assign, q)
+                np.add.at(counts, assign, 1)
+            if seen:
+                yield pd.DataFrame({"sums": [sums.ravel()],
+                                    "counts": [counts]})
+
+        rows = data.mapInPandas(partials, schema).collect()
+        bc.unpersist(blocking=False)
+        sums = np.zeros((n_cells, d))
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            sums += np.asarray(r["sums"]).reshape(n_cells, d)
+            counts += np.asarray(r["counts"])
+        for ci in range(n_cells):
+            if counts[ci]:
+                v = sums[ci] / counts[ci]
                 n = np.linalg.norm(v)
                 if n > 1e-12:
                     cents[ci] = v / n
@@ -203,7 +277,10 @@ def ivf_topk(
 
     ``codebook``: ``"minid"`` (deterministic, oracle-replayable),
     ``"kmeans"`` (:func:`kmeans_codebook` — better cell balance on
-    clustered data), or a pre-built ``[n_cells, d]`` array.
+    clustered data), ``"kmeans-distributed"``
+    (:func:`kmeans_codebook_distributed` — full-corpus Lloyd with
+    delta-row partials, for large ``n_cells``/corpora), or a pre-built
+    ``[n_cells, d]`` array.
     """
     from pyspark.sql.types import ArrayType
 
@@ -211,6 +288,9 @@ def ivf_topk(
         cents = np.asarray(codebook, dtype=np.float64)
     elif codebook == "kmeans":
         cents = kmeans_codebook(embeddings, n_cells, id_col, emb_col)
+    elif codebook == "kmeans-distributed":
+        cents = kmeans_codebook_distributed(embeddings, n_cells,
+                                            id_col, emb_col)
     else:
         rows = (embeddings.select(id_col, emb_col)
                 .orderBy(id_col).limit(n_cells).collect())

@@ -131,6 +131,35 @@ def test_ivf_kmeans_codebook_balances_cells(spark):
     assert r_kmeans >= 0.9, r_kmeans
 
 
+def test_kmeans_distributed_matches_driver_codebook(spark):
+    """The delta-row distributed Lloyd loop (driver holds only the
+    [n_cells, d] codebook; per-iteration traffic = one partial-sums row
+    per partition) reproduces the driver-side codebook on a
+    sample-sized input at n_cells=64 — same init, same assignments,
+    same means up to float summation order."""
+    from ner_pytorch_spark.operators.similarity import (
+        ivf_topk, kmeans_codebook, kmeans_codebook_distributed)
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((64, 8)) * 4     # well-separated
+    rows = []
+    for i in range(512):
+        v = centers[i % 64] + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(8)
+
+    a = kmeans_codebook(df, n_cells=64, sample=4096, seed=3)
+    b = kmeans_codebook_distributed(df, n_cells=64, sample=4096, seed=3)
+    assert b.shape == (64, 8)
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+
+    # and the IVF seam accepts it by name
+    res = ivf_topk(df, k=2, n_cells=8, n_probe=8,
+                   codebook="kmeans-distributed")
+    assert res.count() == 512 * 2
+
+
 def test_cosine_self_excluded(emb_df):
     from ner_pytorch_spark.operators.similarity import cosine_topk
 
