@@ -121,18 +121,24 @@ def main():
     # 0.95 s at 32 cores (16 parts under-subscribes: 0.99 s)
     n_pages, n_triples, kg_secs = _timed_kg(
         spark, N_PAGES, aliases, lexicon, CPUS, partitions=CPUS)
-    # same job with the DP-free gazetteer decode forced OFF (full
-    # Viterbi): makes the shortcut's win reproducible from the artifact
-    _, _, kg_secs_dp_off = _timed_kg(
-        spark, N_PAGES, aliases, lexicon, CPUS, repeats=2,
+    # DP-free decode ON vs OFF (full Viterbi) at 4× pages: at N_PAGES
+    # the 32-core job is per-job-overhead-dominated (~0.6 s fixed) and
+    # the decode difference drowns — 4× makes the UDF body the majority
+    # term so the shortcut's win is visible from the artifact
+    _, _, dp_on = _timed_kg(
+        spark, N_PAGES * 4, aliases, lexicon, CPUS, repeats=2,
+        partitions=CPUS, dp_free=True)
+    _, _, dp_off = _timed_kg(
+        spark, N_PAGES * 4, aliases, lexicon, CPUS, repeats=2,
         partitions=CPUS, dp_free=False)
     queries["kg_e2e"] = round(kg_secs, 3)
     extras["kg"] = {
         "n_pages": n_pages, "n_triples": n_triples,
         "pages_per_sec": round(n_pages / kg_secs, 1),
         "triples_per_sec": round(n_triples / kg_secs, 1),
-        "dp_free_decode_secs": round(kg_secs, 3),
-        "full_viterbi_secs": round(kg_secs_dp_off, 3),
+        "decode_cmp_n_pages": n_pages * 4,
+        "dp_free_decode_secs": round(dp_on, 3),
+        "full_viterbi_secs": round(dp_off, 3),
     }
 
     # ---- neural inference stage at reference hyperparameters
@@ -342,9 +348,42 @@ def main():
                 # (no cross-round best-leg pairing involved)
                 block["efficiency_median_rounds"] = round(
                     median(r["efficiency"] for r in rounds), 3)
+                # ---- roofline decomposition: the busy-loop ceiling
+                # assumes pure-CPU work, but the stream probe shows this
+                # box's DRAM does NOT scale with pinned cores (a real
+                # N→4N EXECUTOR cluster quadruples DRAM along with
+                # cores). Model each round's hi-leg time as a CPU
+                # fraction scaling at the same-round calib speedup and a
+                # DRAM fraction scaling at the same-round stream
+                # speedup; fit the single fraction f across rounds.
+                # A small residual means the gap from raw=1.0 is the
+                # box's memory subsystem, not the engine's plan.
+                fit_rounds = [r for r in rounds if "mem_ceiling" in r]
+                if len(fit_rounds) >= 2:
+                    def pred_eff(r, f):
+                        s_c = 4.0 * r["ceiling"]
+                        s_m = 4.0 * r["mem_ceiling"]
+                        return 1.0 / (4.0 * ((1.0 - f) / s_c + f / s_m))
+
+                    best_f, best_err = 0.0, float("inf")
+                    for i in range(1001):
+                        f = i / 1000.0
+                        err = sum((pred_eff(r, f) - r["efficiency"]) ** 2
+                                  for r in fit_rounds)
+                        if err < best_err:
+                            best_f, best_err = f, err
+                    resid = [round(r["efficiency"] - pred_eff(r, best_f), 3)
+                             for r in fit_rounds]
+                    block["roofline"] = {
+                        "dram_bound_fraction": round(best_f, 3),
+                        "residuals": resid,
+                        "efficiency_normalized_roofline": round(median(
+                            min(1.0, r["efficiency"] / pred_eff(r, best_f))
+                            for r in fit_rounds), 3),
+                    }
             return block
 
-        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1500"))
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1900"))
         lo = max(2, CPUS // 8)
         scaling = scaling_block(lo, lo * 4, SCALING_ROUNDS, budget)
         if scaling is not None:
