@@ -429,13 +429,22 @@ def main():
         json.dump(result, fh, indent=1)
     compact = dict(result)
     if "scaling" in compact:
-        sc_c = dict(compact["scaling"])
-        sc_c["n_rounds"] = len(sc_c.pop("rounds", []))
-        if "full_box" in sc_c:
-            fb = dict(sc_c["full_box"])
-            fb.pop("rounds", None)
-            fb.pop("note", None)
-            sc_c["full_box"] = fb
+        sc = compact["scaling"]
+        keep = ("cores_lo", "cores_hi", "n_pages", "secs_lo", "secs_hi",
+                "pages_per_sec_hi", "speedup", "efficiency",
+                "efficiency_median_rounds", "efficiency_normalized")
+        sc_c = {k: sc[k] for k in keep if k in sc}
+        sc_c["n_rounds"] = len(sc.get("rounds", []))
+        if "roofline" in sc:
+            sc_c["roofline_dram_frac"] = sc["roofline"]["dram_bound_fraction"]
+            sc_c["roofline_normalized"] = sc["roofline"][
+                "efficiency_normalized_roofline"]
+        if "full_box" in sc:
+            fb = sc["full_box"]
+            sc_c["full_box"] = {k: fb[k] for k in
+                                ("cores_lo", "cores_hi", "efficiency",
+                                 "efficiency_normalized",
+                                 "pages_per_sec_hi") if k in fb}
         sc_c["detail"] = "BENCH_LOCAL.json"
         compact["scaling"] = sc_c
     print(json.dumps(compact))
