@@ -903,6 +903,49 @@ def q_kg_backprop_prf(spark, sf_dir):
         test.select("url", "sent_id", "gold_tags"), on=["url", "sent_id"]))
 
 
+def q_decontam_overlap(spark, sf_dir):
+    """Oracle-checked benchmark decontamination: train = doc_id%5≠0,
+    benchmark = doc_id%5=0 (stand-ins for any corpus/benchmark pair),
+    n=3 word-grams on the 30-word synthetic vocab (production uses
+    8-13; the machinery is n-agnostic), distinct-per-doc, equi-join on
+    xxhash64(gram), stop-n-gram cap max_bench_df=2 (EXERCISED: this
+    corpus has bench-side grams at df 3-4, which the cap drops). DuckDB
+    replays tokenization, gram window, distinct, cap, join, and both
+    countDistinct aggregates on the gram strings themselves."""
+    from ner_pytorch_spark.operators.decontam import benchmark_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    return benchmark_overlap(train, bench, n=3, max_bench_df=2)
+
+
+def q_decontam_clean(spark, sf_dir):
+    """Oracle-checked decontamination tail: the left-anti join keeping
+    training docs with fewer than min_shared=3 leaked n-grams."""
+    from ner_pytorch_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, bench, n=3, min_shared=3,
+                         max_bench_df=2).select("doc_id", "n_chars")
+
+
+def q_boilerplate_df(spark, sf_dir):
+    """Oracle-checked boilerplate machinery: the domain-scoped
+    line-frequency table (explode → trim/non-empty → distinct-doc count
+    per (source, line) → broadcast per-domain totals → doc_frac) with
+    thresholds open (this synthetic corpus repeats no lines, so every
+    df is 1 — the COUNTING and frac arithmetic are what's checked; the
+    removal tail is covered by constructed-corpus unit tests in
+    test_decontam.py, where footers/navs are stripped domain-scoped)."""
+    from ner_pytorch_spark.operators.decontam import boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    return boilerplate_lines(docs, min_doc_frac=0.0, min_docs=1)
+
+
 def q_kg_adv_train(spark, sf_dir):
     """M10 adversarial-training gate (rows-only): the SAME backprop
     trainer run twice from identical init — plain SGD vs the mixed
@@ -980,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "hash_split": q_hash_split,
         "corpus_clean": q_corpus_clean,
+        "decontam_overlap": q_decontam_overlap,
+        "decontam_clean": q_decontam_clean,
+        "boilerplate_df": q_boilerplate_df,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -1500,6 +1546,73 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        # decontamination: distinct 3-grams per doc on both split
+        # sides, bench-df stop-gram cap (<= 2), join on the gram STRING
+        # (Spark joins xxhash64(gram) — identical counts absent a
+        # 64-bit collision), then the two countDistinct aggregates
+        "decontam_overlap": """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM docs WHERE len(toks) >= 3),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+  FROM pos),
+bench AS (SELECT g, doc_id AS bench_id FROM grams WHERE doc_id % 5 = 0),
+keep AS (SELECT g FROM bench GROUP BY g
+         HAVING count(DISTINCT bench_id) <= 2),
+bkept AS (SELECT b.g, b.bench_id FROM bench b JOIN keep USING (g)),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0)
+SELECT t.doc_id,
+       count(DISTINCT t.g) AS n_shared_ngrams,
+       count(DISTINCT b.bench_id) AS n_bench_docs
+FROM train t JOIN bkept b USING (g)
+GROUP BY t.doc_id""",
+        "decontam_clean": """
+WITH docs AS (
+  SELECT doc_id, n_chars,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM docs WHERE len(toks) >= 3),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+  FROM pos),
+bench AS (SELECT g, doc_id AS bench_id FROM grams WHERE doc_id % 5 = 0),
+keep AS (SELECT g FROM bench GROUP BY g
+         HAVING count(DISTINCT bench_id) <= 2),
+bkept AS (SELECT b.g, b.bench_id FROM bench b JOIN keep USING (g)),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 <> 0),
+dirty AS (
+  SELECT t.doc_id FROM train t JOIN bkept b USING (g)
+  GROUP BY t.doc_id HAVING count(DISTINCT t.g) >= 3)
+SELECT d.doc_id, d.n_chars FROM docs d
+WHERE d.doc_id % 5 <> 0
+  AND NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = d.doc_id)""",
+        # boilerplate df table: trimmed non-empty lines, distinct-doc
+        # count per (source, line), frac over per-domain doc totals
+        "boilerplate_df": """
+WITH lines AS (
+  SELECT doc_id, source, trim(l) AS line FROM (
+    SELECT doc_id, source, unnest(string_split(text, chr(10))) AS l
+    FROM documents)
+  WHERE length(trim(l)) > 0),
+per_line AS (
+  SELECT source, line, count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY source, line),
+tot AS (
+  SELECT source, count(DISTINCT doc_id) AS domain_docs
+  FROM documents GROUP BY source)
+SELECT p.source, p.line, p.n_docs,
+       round(p.n_docs * 1.0 / t.domain_docs, 6) AS doc_frac
+FROM per_line p JOIN tot t USING (source)
+WHERE p.n_docs >= 1
+  AND round(p.n_docs * 1.0 / t.domain_docs, 6) >= 0.0""",
         "hash_split": f"""
 SELECT doc_id,
        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
