@@ -51,6 +51,34 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 2) in got  # near dup caught by at least one band
 
 
+def test_lsh_wide_buckets_match_long_path(spark, docs):
+    """The one-shuffle wide-aggregate bucket builder produces the SAME
+    candidate set as the explode→groupBy long formulation it replaced
+    (bucket keys are seed-tagged, so key equality ⟺ per-band minhash
+    equality in both)."""
+    from ner_pytorch_spark.operators.dedup import (
+        _lsh_buckets, minhash_signatures, word_shingles)
+
+    n_hashes, bands, rpb = 16, 4, 4
+    sig = minhash_signatures(docs)
+    long_buckets = (
+        sig.withColumn("band", (F.col("seed") / rpb).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+            F.concat_ws("=", F.col("seed"), F.col("minhash"))))).alias("k")))
+
+    def cands(buckets, key):
+        a = buckets.select(F.col("doc_id").alias("doc_a"), "band", key)
+        b = buckets.select(F.col("doc_id").alias("doc_b"), "band", key)
+        return {(r.doc_a, r.doc_b) for r in
+                a.join(b, on=["band", key])
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b").distinct().collect()}
+
+    wide = _lsh_buckets(word_shingles(docs), n_hashes, bands)
+    assert cands(wide, "bucket_key") == cands(long_buckets, "k")
+
+
 def test_simhash_blocking_is_lossless(spark):
     """Pigeonhole recall at max_hamming > 3 (the round-1 bug class).
 
