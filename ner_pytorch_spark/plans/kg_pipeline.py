@@ -2,6 +2,10 @@
 
     pages (url, warc_ts, html, text, lang)
       → [stage extract]   byte-identical text check / re-extraction
+      → [stage clean_pages] OPTIONAL domain-scoped boilerplate strip
+                          (``boilerplate_frac=``; site footers/navs
+                          would otherwise mint one spurious mention
+                          per page of a domain)
       → [stage sentences] lang filter + line/token windowing (JVM)
       → [stage mentions]  salted repartition → Arrow-batched CRF tagging
                           → BIOES spans
@@ -32,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..datagen import PREDICATE_LEXICON
 from ..operators.cc import connected_components
+from ..operators.decontam import strip_boilerplate
 from ..operators.linking import candidate_links, link_mentions
 from ..operators.spans import mentions_table
 from ..operators.tagger import (repartition_by_length, sentences_table,
@@ -107,6 +112,8 @@ class KGPipeline:
         salt: int = 64,
         cooccurrence_window: int | None = None,
         embedder=None,
+        boilerplate_frac: float | None = None,
+        boilerplate_min_docs: int = 2,
     ):
         self.spark = spark
         self.catalog = SnapshotCatalog(spark, catalog_root)
@@ -123,6 +130,13 @@ class KGPipeline:
         # scores in the pretrained space; None = deterministic hash
         # vectors (exact-surface matching only — test/synthetic default)
         self.embedder = embedder
+        # optional ingest hygiene: lines repeated in ≥ this fraction of
+        # a DOMAIN's pages (nav bars, footers, cookie banners) are
+        # stripped before sentence windowing — at crawl scale a site
+        # footer naming an org would otherwise mint one spurious
+        # mention per page of the domain. None (default) = off.
+        self.boilerplate_frac = boilerplate_frac
+        self.boilerplate_min_docs = boilerplate_min_docs
 
     # ------------------------------------------------------------ util
     def _metric(self, stage: str, n_rows: int, seconds: float) -> None:
@@ -152,8 +166,26 @@ class KGPipeline:
             lineage, "stage string, partition_id int, n_rows long"))
         return out
 
+    def _strip_boilerplate_pages(self, pages: DataFrame) -> DataFrame:
+        """Domain-scoped boilerplate strip with the pages schema kept."""
+        cols = pages.columns
+        dom = pages.withColumn(
+            "_domain",
+            F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1))
+        out = strip_boilerplate(
+            dom, min_doc_frac=self.boilerplate_frac,
+            min_docs=self.boilerplate_min_docs,
+            text_col="text", id_col="url", domain_col="_domain")
+        return out.select(*[
+            F.col("clean_text").alias("text") if c == "text" else F.col(c)
+            for c in cols])
+
     # ------------------------------------------------------------- run
     def run(self, pages: DataFrame, resume: bool = False) -> dict[str, DataFrame]:
+        if self.boilerplate_frac is not None:
+            pages = self._stage(
+                "clean_pages", resume,
+                lambda: self._strip_boilerplate_pages(pages))
         sents = self._stage(
             "sentences", resume,
             lambda: sentences_table(salted_repartition(pages, salt=self.salt)))

@@ -136,6 +136,41 @@ def main():
     ok &= check("kmv_corpuswide_no_single_partition", plan,
                 must_not=[r"SinglePartition"])
 
+    # decontamination: the n-gram overlap join must be an equi-join on
+    # the gram hash — never a cartesian/nested-loop — and the clean
+    # tail's anti-join likewise
+    plan = plan_of(e.q_decontam_overlap(spark, SF))
+    ok &= check("decontam_equijoin", plan,
+                must=[r"xxhash64"],
+                must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
+    plan = plan_of(e.q_decontam_clean(spark, SF))
+    ok &= check("decontam_clean_antijoin", plan,
+                must=[r"LeftAnti"],
+                must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
+
+    # boilerplate: per-domain totals ride a broadcast join (one tiny row
+    # per domain), and the strip reassembly has NO window (the
+    # array_sort formulation avoids a per-doc window shuffle)
+    plan = plan_of(e.q_boilerplate_df(spark, SF))
+    ok &= check("boilerplate_broadcast_totals", plan,
+                must=[r"BroadcastHashJoin"],
+                must_not=[r"CartesianProduct"])
+    from ner_pytorch_spark.operators.decontam import strip_boilerplate
+
+    plan = plan_of(strip_boilerplate(e._read(spark, SF, "documents")))
+    ok &= check("boilerplate_strip_no_window", plan,
+                must=[r"LeftAnti"],
+                must_not=[r"\(\d+\) Window", r"CartesianProduct"])
+
+    # minhash LSH after the round-4 rework: the shingle table is an
+    # InMemoryRelation (computed once, not per branch) and the bucket
+    # build adds no groupBy beyond the wide signature aggregate —
+    # candidate join is an equi-join
+    plan = plan_of(e.q_minhash_lsh(spark, SF))
+    ok &= check("minhash_lsh_cached_shingles", plan,
+                must=[r"InMemoryTableScan|InMemoryRelation"],
+                must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
+
     # html never read from a parquet-backed pages table when the fused
     # path only consumes (url, text) — column pruning reaches the scan
     import tempfile
