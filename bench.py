@@ -52,7 +52,7 @@ SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 # structural penalty drops from ~5% to ~2.5%, and single steal bursts
 # own a smaller fraction of each measurement.
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", N_PAGES * 64))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 
 
 def _new_spark(cores: int):
@@ -383,11 +383,18 @@ def main():
                     }
             return block
 
-        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1900"))
+        # budget sized so a steal-heavy regime (rounds ~470 s at 64×SF)
+        # stops after 3 rounds and a quiet one (≈370 s) fits all 4 —
+        # keeping the whole bench inside the driver's patience
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "1300"))
         lo = max(2, CPUS // 8)
+        t_scaling0 = time.time()
         scaling = scaling_block(lo, lo * 4, SCALING_ROUNDS, budget)
         if scaling is not None:
-            if CPUS > lo * 4:
+            # the full-box reference round costs another ~400-470 s;
+            # skip it if the headline block already ate the budget
+            if (CPUS > lo * 4
+                    and time.time() - t_scaling0 < budget + 200):
                 fb = scaling_block(max(2, CPUS // 4), CPUS, 1, budget)
                 if fb is not None:
                     fb["note"] = (
