@@ -18,8 +18,20 @@ from pyspark.sql import functions as F
 
 def load_ppdb(
     spark: SparkSession, path: str, vocab: DataFrame | None = None,
+    stem_filter: bool = False,
 ) -> DataFrame:
-    """→ symmetric (phrase, paraphrase) edge table, Equivalence only."""
+    """→ symmetric (phrase, paraphrase) edge table, Equivalence only.
+
+    ``stem_filter=True`` drops pairs whose Snowball-English stems are
+    EQUAL — the reference's inflectional-variant prefilter
+    (ppdb.py:20,67: ``stemmer.stem(phrase) == stemmer.stem(paraphrase)``
+    skips the pair; note it stems the whole phrase string as one
+    token). Runs through the in-repo pure-python Porter2
+    (:mod:`ner_pytorch_spark.functions.stemming`) in one Arrow pass
+    over the (dimension-sized) edge table. Off by default so the
+    oracle-checked paraphrase queries (whose DuckDB twin has no
+    stemmer) keep their exact replay; parity deployments pass True.
+    """
     rows = (
         spark.read.text(path)
         .select(F.split("value", r"\s*\|\|\|\s*").alias("f"))
@@ -38,6 +50,16 @@ def load_ppdb(
             rows.join(v, rows["phrase"] == F.col("_v"), "left_semi")
             .join(v, rows["paraphrase"] == F.col("_v"), "left_semi")
         )
+    if stem_filter:
+        from pyspark.sql.functions import pandas_udf
+
+        from ..functions.stemming import snowball_stem
+
+        @pandas_udf("string")
+        def _stem(s):
+            return s.map(snowball_stem)
+
+        rows = rows.filter(_stem("phrase") != _stem("paraphrase"))
     sym = rows.select("phrase", "paraphrase").union(
         rows.select(F.col("paraphrase").alias("phrase"),
                     F.col("phrase").alias("paraphrase")))

@@ -90,6 +90,34 @@ def test_ppdb_scan_and_lookup(spark, tmp_path):
         (1, "big", "large")]
 
 
+def test_ppdb_stem_filter_drops_inflectional_pairs(spark, tmp_path):
+    """The reference's Snowball prefilter (ppdb.py:20,67): pairs whose
+    whole-phrase stems are equal are inflectional variants, not
+    paraphrases — dropped when stem_filter=True, kept when False."""
+    from ner_pytorch_spark.sources.ppdb import load_ppdb
+
+    p = tmp_path / "ppdb2.txt"
+    p.write_text(
+        "[X] ||| running ||| runs ||| f ||| e ||| a ||| Equivalence\n"
+        "[X] ||| connection ||| connected ||| f ||| e ||| a ||| Equivalence\n"
+        "[X] ||| big ||| large ||| f ||| e ||| a ||| Equivalence\n"
+        "[X] ||| hash join ||| hash joins ||| f ||| e ||| a ||| Equivalence\n"
+        "[X] ||| hash join ||| merge join ||| f ||| e ||| a ||| Equivalence\n")
+    plain = {(r.phrase, r.paraphrase)
+             for r in load_ppdb(spark, str(p)).collect()}
+    assert ("running", "runs") in plain and ("hash join", "hash joins") in plain
+
+    filtered = {(r.phrase, r.paraphrase)
+                for r in load_ppdb(spark, str(p), stem_filter=True).collect()}
+    # run/run, connect/connect, join/join stems collapse → dropped
+    assert ("running", "runs") not in filtered
+    assert ("connection", "connected") not in filtered
+    assert ("hash join", "hash joins") not in filtered
+    # genuine paraphrases survive (both directions)
+    assert ("big", "large") in filtered and ("large", "big") in filtered
+    assert ("hash join", "merge join") in filtered
+
+
 def test_multimodal_plumbing(spark):
     from ner_pytorch_spark.operators.multimodal import (extract_features,
                                                         synthetic_media)
