@@ -37,26 +37,37 @@ _STATE = StructType([StructField("digest", StringType())])
 
 def _make_dedup_fn(state_ttl_ms: int | None):
     def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
         url = key[0]
         if state_ttl_ms and state.hasTimedOut:
             state.remove()
             return
         seen = state.get[0] if state.exists else None
-        out = []
-        for pdf in pdfs:
-            for digest in pdf["digest"]:
-                if seen is None:
-                    out.append((url, digest, "new"))
-                    seen = digest
-                elif digest != seen:
-                    out.append((url, digest, "changed"))
-                    seen = digest
-                # identical re-crawl → suppressed
-        state.update((seen,))
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((seen,))
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        pdf = (chunks[0] if len(chunks) == 1
+               else pd.concat(chunks, ignore_index=True))
+        # vectorized run-compression: keep a digest only where it
+        # differs from its predecessor (carried-in `seen` first) —
+        # identical re-crawls suppressed without a per-row Python loop
+        d = pdf["digest"].to_numpy()
+        prev = np.concatenate(([seen], d[:-1]))
+        keep = d != prev
+        kept = d[keep]
+        state.update((str(d[-1]),))
         if state_ttl_ms:
             state.setTimeoutDuration(state_ttl_ms)
-        if out:
-            yield pd.DataFrame(out, columns=["url", "digest", "status"])
+        if len(kept):
+            status = np.full(len(kept), "changed", dtype=object)
+            if seen is None and keep[0]:
+                status[0] = "new"
+            yield pd.DataFrame({"url": url, "digest": kept,
+                                "status": status})
 
     return _dedup_fn
 

@@ -69,6 +69,36 @@ def _run_fn(fn, state, rows_chunks):
                                   "duration_secs"]))
 
 
+def test_dedup_fn_vectorized_semantics():
+    """Direct group-fn check for the run-compression dedup: first-seen
+    → new, changes → changed, identical re-crawls suppressed, state
+    carries the last digest across batches."""
+    import pandas as pd
+
+    from ner_pytorch_spark.streaming.stateful import _make_dedup_fn
+
+    fn = _make_dedup_fn(None)
+
+    def run(state, chunks):
+        out = list(fn(("u1",), (pd.DataFrame({"digest": c})
+                                for c in chunks), state))
+        return ([] if not out else
+                list(pd.concat(out, ignore_index=True)
+                     .itertuples(index=False, name=None)))
+
+    st = _FakeState()
+    rows = run(st, [["a", "a", "b"], ["b", "c"]])
+    assert rows == [("u1", "a", "new"), ("u1", "b", "changed"),
+                    ("u1", "c", "changed")]
+    assert st.get == ("c",)
+    # next batch: identical re-crawl fully suppressed, state kept
+    assert run(st, [["c", "c"]]) == []
+    assert st.get == ("c",)
+    # change after the seam
+    assert run(st, [["a"]]) == [("u1", "a", "changed")]
+    assert run(st, []) == [] and st.get == ("a",)
+
+
 def test_sessions_fn_vectorized_semantics():
     """Direct group-fn check: multi-chunk out-of-order input, carried
     open-session continuation, and new-session splits all reproduce the
