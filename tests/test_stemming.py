@@ -60,3 +60,21 @@ def test_phrase_string_semantics():
 def test_case_insensitive():
     assert snowball_stem("Running") == "run"
     assert snowball_stem("SKIES") == "sky"
+
+
+def test_robust_on_arbitrary_strings():
+    """Property: total function — never raises, deterministic, output
+    lowercase, and never longer than the lowercased input + 1 (the only
+    lengthening rule is the step-1b 'add e' fixup)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=24))
+    def check(s):
+        out = snowball_stem(s)
+        assert out == snowball_stem(s)
+        assert out == out.lower() or not out.isascii()
+        assert len(out) <= len(s) + 1
+
+    check()
