@@ -903,6 +903,17 @@ def q_kg_backprop_prf(spark, sf_dir):
         test.select("url", "sent_id", "gold_tags"), on=["url", "sent_id"]))
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Oracle-checked Gopher-style repetition signals: duplicate-line
+    fraction, most-frequent-bigram fraction, duplicated-bigram
+    occurrence fraction — the standard machine-generated-text filters
+    of large-corpus pipelines, replayed in SQL (line explode + two
+    keyed aggregations; null-safe 0 for empty docs)."""
+    from ner_pytorch_spark.operators.textstats import repetition_scores
+
+    return repetition_scores(_read(spark, sf_dir, "documents"), n=2)
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Oracle-checked benchmark decontamination: train = doc_id%5≠0,
     benchmark = doc_id%5=0 (stand-ins for any corpus/benchmark pair),
@@ -1026,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "decontam_clean": q_decontam_clean,
         "boilerplate_df": q_boilerplate_df,
+        "repetition_scores": q_repetition_scores,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -1546,6 +1558,39 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        # repetition signals: line dedup + bigram frequency shape
+        # replayed per doc; empty/short docs coalesce to 0
+        "repetition_scores": f"""
+WITH lines AS (
+  SELECT doc_id, trim(l) AS l FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+    FROM documents)
+  WHERE length(trim(l)) > 0),
+line_stats AS (
+  SELECT doc_id,
+         1 - CAST(count(DISTINCT l) AS DOUBLE) / count(*) AS dup_line_frac
+  FROM lines GROUP BY doc_id),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2),
+per_gram AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g,
+         count(*) AS c
+  FROM pos GROUP BY doc_id, g),
+gram_stats AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / sum(c) AS top_ngram_frac,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+           AS dup_ngram_frac
+  FROM per_gram GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(ls.dup_line_frac, 0), 6) AS dup_line_frac,
+       round(coalesce(gs.top_ngram_frac, 0), 6) AS top_ngram_frac,
+       round(coalesce(gs.dup_ngram_frac, 0), 6) AS dup_ngram_frac
+FROM documents d
+LEFT JOIN line_stats ls ON ls.doc_id = d.doc_id
+LEFT JOIN gram_stats gs ON gs.doc_id = d.doc_id""",
         # decontamination: distinct 3-grams per doc on both split
         # sides, bench-df stop-gram cap (<= 2), join on the gram STRING
         # (Spark joins xxhash64(gram) — identical counts absent a

@@ -122,6 +122,67 @@ def token_counts(docs: DataFrame, text_col: str = "text",
         pieces.alias("n_bpe_pieces"))
 
 
+def repetition_scores(docs: DataFrame, n: int = 2,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per doc.
+
+    → (doc_id, dup_line_frac, top_ngram_frac, dup_ngram_frac):
+
+    * ``dup_line_frac``  — 1 − distinct/total over non-empty trimmed
+      lines (machine-generated pages repeat whole lines);
+    * ``top_ngram_frac`` — occurrences of the single most frequent word
+      ``n``-gram / total ``n``-grams (boilerplate-heavy text is
+      dominated by one phrase);
+    * ``dup_ngram_frac`` — fraction of ``n``-gram OCCURRENCES whose
+      gram appears ≥ 2 times in the doc.
+
+    Docs with no lines / fewer than ``n`` tokens score 0 (nothing to
+    repeat). Fully relational: explode → two keyed aggregations — the
+    per-doc group never leaves its partition pair, no windows. These
+    are the standard repetition filters of large-corpus pipelines
+    (Gopher §A1.1 thresholds plug straight into a filter on this
+    output); not in the reference (CoNLL input needs none of this).
+    """
+    lines = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.col(text_col), "\n")).alias("l"))
+        .select("doc_id", F.trim("l").alias("l"))
+        .filter(F.length("l") > 0))
+    line_stats = lines.groupBy("doc_id").agg(
+        (1 - F.countDistinct("l") / F.count(F.lit(1)))
+        .alias("dup_line_frac"))
+
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_lower(text_col).alias("toks"))
+    grams = F.when(
+        F.size("toks") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    gram_stats = per_gram.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top_ngram_frac"),
+        (F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+         / F.sum("c")).alias("dup_ngram_frac"))
+
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(line_stats, on="doc_id", how="left")
+        .join(gram_stats, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6)
+            .alias("dup_line_frac"),
+            F.round(F.coalesce("top_ngram_frac", F.lit(0.0)), 6)
+            .alias("top_ngram_frac"),
+            F.round(F.coalesce("dup_ngram_frac", F.lit(0.0)), 6)
+            .alias("dup_ngram_frac"))
+    )
+
+
 # --------------------------------------------------------- fingerprint
 
 _MOD = (1 << 61) - 1

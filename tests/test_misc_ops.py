@@ -219,3 +219,36 @@ def test_bigram_lm_perplexity(spark):
                                   "doc_id long, text string")
     row = doc_perplexity(other, lm=lm).first()
     assert row.n_scored == 4 and np.isfinite(row.ppl) and row.ppl > 0
+
+
+def test_repetition_scores(spark):
+    """Gopher-style repetition signals on constructed docs: clean text
+    scores ~0, line-repeated and phrase-repeated docs score high, and
+    degenerate docs (empty / single-token) coalesce to 0."""
+    from ner_pytorch_spark.operators.textstats import repetition_scores
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma\ndelta epsilon zeta"),            # clean
+        (2, "same line here\nsame line here\nsame line here"),  # dup lines
+        (3, "buy now buy now buy now buy now"),                 # one phrase
+        (4, "x"),                                               # < n tokens
+        (5, ""),                                                # empty
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_scores(docs, n=2).collect()}
+
+    assert got[1].dup_line_frac == 0.0
+    assert got[1].top_ngram_frac == 0.2        # 5 bigrams, all unique
+    assert got[1].dup_ngram_frac == 0.0
+
+    assert got[2].dup_line_frac == round(1 - 1 / 3, 6)
+    # tokens: same line here same line here same line here → bigrams all
+    # repeated ("same line"x3, "line here"x3, "here same"x2) → dup 1.0
+    assert got[2].dup_ngram_frac == 1.0
+
+    # "buy now" dominates: 7 bigrams, "buy now" 4 of them
+    assert got[3].top_ngram_frac == round(4 / 7, 6)
+    assert got[3].dup_ngram_frac == 1.0
+
+    for d in (4, 5):
+        assert (got[d].dup_line_frac, got[d].top_ngram_frac,
+                got[d].dup_ngram_frac) == (0.0, 0.0, 0.0)
