@@ -903,6 +903,30 @@ def q_kg_backprop_prf(spark, sf_dir):
         test.select("url", "sent_id", "gold_tags"), on=["url", "sent_id"]))
 
 
+def q_url_normalize(spark, sf_dir):
+    """Oracle-checked URL canonicalization: deterministic messy URLs
+    synthesized from doc_id (case'd scheme/host, default ports,
+    tracking params, fragments) collapse through normalize_url; DuckDB
+    replays the synthesis AND every normalization step (fragment strip,
+    scheme/host lowercase, port drop, tracking filter + param sort)."""
+    from ner_pytorch_spark.functions.urlnorm import normalize_url
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    base = (F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("HTTP://WWW.Example.COM:80"))
+            .otherwise(F.lit("https://Sub.Example.Org:443")))
+    suffix = (F.when(F.col("doc_id") % 4 == 0,
+                     F.lit("?utm_source=news&z=1&a=2#top"))
+              .when(F.col("doc_id") % 4 == 1,
+                    F.lit("?b=1&utm_medium=email"))
+              .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
+              .otherwise(F.lit("")))
+    url = F.concat(base, F.lit("/Items/"),
+                   F.col("doc_id").cast("string"), suffix)
+    return docs.select("doc_id", url.alias("url"),
+                       normalize_url(url).alias("canonical_url"))
+
+
 def q_repetition_scores(spark, sf_dir):
     """Oracle-checked Gopher-style repetition signals: duplicate-line
     fraction, most-frequent-bigram fraction, duplicated-bigram
@@ -1038,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_clean": q_decontam_clean,
         "boilerplate_df": q_boilerplate_df,
         "repetition_scores": q_repetition_scores,
+        "url_normalize": q_url_normalize,
         "kg_mentions": q_kg_mentions,
         "kg_triples": q_kg_triples,
         "kg_triples_cooc": q_kg_triples_cooc,
@@ -1558,6 +1583,48 @@ SELECT a.url, a.sent_id,
        a.mention_id AS subj_mention_id, b.mention_id AS obj_mention_id
 FROM ments a JOIN ments b ON a.url = b.url AND a.sent_id = b.sent_id
 WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
+        # URL canonicalization: synthesis + every normalization step
+        # replayed (anchored regexps behave identically under Spark's
+        # replace-all and DuckDB's replace-first; list_sort == the
+        # binary array_sort; starts_with avoids LIKE's _ wildcard)
+        "url_normalize": r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example.COM:80'
+          ELSE 'https://Sub.Example.Org:443' END
+     || '/Items/' || CAST(doc_id AS VARCHAR)
+     || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&z=1&a=2#top'
+             WHEN doc_id % 4 = 1 THEN '?b=1&utm_medium=email'
+             WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS u
+       FROM raw),
+s2 AS (SELECT doc_id, url,
+  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest FROM s1),
+s3 AS (SELECT doc_id, url, scheme,
+  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+  regexp_replace(rest, '^[^/?]*', '') AS tail FROM s2),
+s4 AS (SELECT doc_id, url, scheme,
+  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+       ELSE hostport END AS host,
+  CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+       ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
+  regexp_replace(tail, '^[^?]*\??', '') AS q FROM s3),
+s5 AS (SELECT doc_id, url, scheme, host, path,
+  -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+  -- array_join gives '') — coalesce aligns the engines
+  coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+    kv -> kv <> '' AND NOT (
+      starts_with(string_split(kv, '=')[1], 'utm_')
+      OR string_split(kv, '=')[1] IN ('gclid','fbclid','msclkid','ref')
+    ))), '&'), '') AS qstr
+  FROM s4)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+       CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS canonical_url
+FROM s5""",
         # repetition signals: line dedup + bigram frequency shape
         # replayed per doc; empty/short docs coalesce to 0
         "repetition_scores": f"""
