@@ -912,8 +912,10 @@ def q_url_normalize(spark, sf_dir):
     from ner_pytorch_spark.functions.urlnorm import normalize_url
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
-    base = (F.when(F.col("doc_id") % 2 == 0,
-                   F.lit("HTTP://WWW.Example.COM:80"))
+    base = (F.when(F.col("doc_id") % 7 == 3,        # scheme-less → pass-through
+                   F.lit("WWW.No-Scheme.COM:80"))
+            .when(F.col("doc_id") % 2 == 0,
+                  F.lit("HTTP://WWW.Example.COM:80"))
             .otherwise(F.lit("https://Sub.Example.Org:443")))
     suffix = (F.when(F.col("doc_id") % 4 == 0,
                      F.lit("?utm_source=news&z=1&a=2#top"))
@@ -1590,7 +1592,8 @@ WHERE a."end" <= b.start AND b.start - a."end" <= 3""",
         "url_normalize": r"""
 WITH raw AS (
   SELECT doc_id,
-    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example.COM:80'
+    (CASE WHEN doc_id % 7 = 3 THEN 'WWW.No-Scheme.COM:80'
+          WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Example.COM:80'
           ELSE 'https://Sub.Example.Org:443' END
      || '/Items/' || CAST(doc_id AS VARCHAR)
      || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=news&z=1&a=2#top'
@@ -1599,20 +1602,20 @@ WITH raw AS (
   FROM documents),
 s1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS u
        FROM raw),
-s2 AS (SELECT doc_id, url,
+s2 AS (SELECT doc_id, url, u,
   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest FROM s1),
-s3 AS (SELECT doc_id, url, scheme,
+s3 AS (SELECT doc_id, url, u, scheme,
   lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
   regexp_replace(rest, '^[^/?]*', '') AS tail FROM s2),
-s4 AS (SELECT doc_id, url, scheme,
+s4 AS (SELECT doc_id, url, u, scheme,
   CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
        ELSE hostport END AS host,
   CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
        ELSE regexp_extract(tail, '^([^?]*)', 1) END AS path,
   regexp_replace(tail, '^[^?]*\??', '') AS q FROM s3),
-s5 AS (SELECT doc_id, url, scheme, host, path,
+s5 AS (SELECT doc_id, url, u, scheme, host, path,
   -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
   -- array_join gives '') — coalesce aligns the engines
   coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
@@ -1622,8 +1625,10 @@ s5 AS (SELECT doc_id, url, scheme, host, path,
     ))), '&'), '') AS qstr
   FROM s4)
 SELECT doc_id, url,
-       scheme || '://' || host || path ||
-       CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END AS canonical_url
+       CASE WHEN scheme = '' THEN u
+            ELSE scheme || '://' || host || path ||
+                 CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END
+       END AS canonical_url
 FROM s5""",
         # repetition signals: line dedup + bigram frequency shape
         # replayed per doc; empty/short docs coalesce to 0

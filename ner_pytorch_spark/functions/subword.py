@@ -116,6 +116,10 @@ def aligned_mention_vectors(tokens: list[str], spans: list[tuple[int, int]],
     wv = aligned_word_vectors(tokens, hidden, tokenizer, start)
     out = []
     for s, e in spans:
+        if e <= s:
+            # a zero-width span would pool an empty slice → NaN rows
+            # (mean) or ValueError (min/max); fail loudly with the span
+            raise ValueError(f"empty mention span ({s}, {e}); need end > start")
         seg = wv[s:e]
         if pooling == "mean":
             out.append(seg.mean(axis=0))

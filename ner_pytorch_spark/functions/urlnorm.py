@@ -13,6 +13,11 @@ Pure Column expressions (JVM, no UDF), engine-replayable step by step:
    ``msclkid``, ``ref``) and SORT the survivors (param order is not
    semantic) — empty query drops its ``?``;
 5. empty path → ``/``.
+
+Scheme-less inputs (no ``://``) pass through fragment-stripped and
+trimmed but otherwise untouched — assembling ``"://" || host`` around an
+empty scheme would mint a mangled key that collides across relative
+URLs; nulls propagate to null.
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ def normalize_url(url: Column) -> Column:
         F.split(query, "&"),
         lambda kv: (kv != "") & ~_is_tracking(kv)))
     qstr = F.array_join(kept, "&")
-    return F.concat(
+    assembled = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qstr == "", F.lit("")).otherwise(F.concat(F.lit("?"), qstr)))
+    return F.when(scheme == "", u).otherwise(assembled)

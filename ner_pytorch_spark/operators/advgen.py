@@ -138,6 +138,7 @@ def o_segment_paraphrase(
     tagged: DataFrame,
     ppdb_edges: DataFrame,
     max_n: int = 2,
+    max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Paraphrase ONLY outside-entity token runs; entity spans verbatim.
 
@@ -147,8 +148,22 @@ def o_segment_paraphrase(
     replicated). Returns only sentences actually changed
     (paraphrase_model.py:104 identity filter).
 
+    The phrase→paraphrase dictionary is collected to the driver and
+    broadcast (the reference's in-memory dict, ppdb.py:36-76) — fine for
+    Equivalence-filtered PPDB slices, but PPDB-XXL is ~100M pairs and
+    would OOM the driver, so the collect is BOUNDED: more than
+    ``max_edges`` rows raises with a pointer to the relational J5 path
+    (:func:`ner_pytorch_spark.sources.ppdb.paraphrase_ngram_lookup`),
+    which joins phrases distributively and has no driver bottleneck.
+
     Output: (url, sent_id, adv_tokens, adv_tags).
     """
+    # limit(max+1).count() bounds the guard's own cost at any table size
+    if ppdb_edges.limit(max_edges + 1).count() > max_edges:
+        raise ValueError(
+            f"ppdb_edges exceeds max_edges={max_edges}; use the "
+            "distributed paraphrase_ngram_lookup join path instead of "
+            "the broadcast-dict path, or raise max_edges explicitly")
     edges = {r["phrase"]: r["paraphrase"]
              for r in ppdb_edges.select("phrase", "paraphrase").collect()}
     spark = tagged.sparkSession

@@ -476,19 +476,27 @@ def _set_arrays(w: TaggerWeights, arrays: dict[str, np.ndarray]) -> TaggerWeight
 
 def sgd_partition_pass(pdf, weights: TaggerWeights, vocab, chars, unk,
                        tag_ids, lr, clip, batch_size, dropout, seed,
-                       adv_alpha: float = 0.0, adv_ratio: float = 0.0):
+                       adv_alpha: float = 0.0, adv_ratio: float = 0.0,
+                       momentum: float = 0.0):
     """One local SGD epoch over a partition's sentences.
 
     Mini-batches of `batch_size` sorted by length (padding economy),
     order shuffled deterministically; per-batch global-norm clipping at
     `clip` (train.py:5.0). ``adv_alpha > 0`` trains on the M10 mixed
     loss (:func:`adversarial_loss_and_grads`) with the given ratio.
+    ``momentum`` is classic SGD momentum ``v ← μ·v + g; p ← p − lr·v``
+    (the reference trains with momentum 0.9, train.py:168-169); under
+    parameter mixing the velocity is PARTITION-LOCAL and resets each
+    epoch — the per-partition analogue of the reference's single-process
+    optimizer state (mixing momentum buffers across partitions would
+    average stale directions).
     Returns (n_sentences, nll_sum, arrays)."""
     from .tagger import featurize_sentence
 
     rng = np.random.default_rng([seed, len(pdf)])
     rows = list(zip(pdf["tokens"].tolist(), pdf["gold_tags"].tolist()))
     order = rng.permutation(len(rows))
+    vel: dict[str, np.ndarray] = {}
     arrays = {k: (None if v is None else v.copy())
               for k, v in _get_arrays(weights).items()}
     cur = _set_arrays(weights, arrays)
@@ -513,10 +521,14 @@ def sgd_partition_pass(pdf, weights: TaggerWeights, vocab, chars, unk,
         nll_total += nll * len(chunk)
         gnorm = np.sqrt(sum(float((g ** 2).sum())
                             for g in grads.values() if g is not None))
-        scale = lr * (clip / gnorm if gnorm > clip else 1.0)
+        clip_scale = clip / gnorm if gnorm > clip else 1.0
         for k, g in grads.items():
             if g is not None and arrays.get(k) is not None:
-                arrays[k] -= scale * g
+                g = g * clip_scale
+                if momentum:
+                    vel[k] = momentum * vel[k] + g if k in vel else g
+                    g = vel[k]
+                arrays[k] -= lr * g
     return len(rows), nll_total, arrays
 
 
@@ -524,6 +536,51 @@ _BP_SCHEMA = StructType(
     [StructField("n_sentences", LongType()),
      StructField("nll", DoubleType())]
     + [StructField(f"d_{k}", ArrayType(DoubleType())) for k in _GRAD_KEYS])
+
+
+def _mean_dev_nll(dev: DataFrame, weights: TaggerWeights, vocab, char_vocab,
+                  unk, tag_ids) -> float:
+    """Held-out mean CRF NLL, forward-only: one (nll_sum, n) row per
+    partition (no gradients, no weight traffic back) — the early-stop
+    monitor (pytorchtools.py val_loss)."""
+    from .crf import forward_score, path_score
+    from .encoder import neural_emissions
+    from .tagger import featurize_sentence
+
+    sc = dev.sparkSession.sparkContext
+    bc = sc.broadcast({"w": weights, "vocab": vocab, "chars": char_vocab})
+    schema = StructType([StructField("nll", DoubleType()),
+                         StructField("n", LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc.value
+        w = v["w"]
+        total, n = 0.0, 0
+        for pdf in batches:
+            tok_lists = [list(t) for t in pdf["tokens"]]
+            tag_lists = [list(t) for t in pdf["gold_tags"]]
+            if not tok_lists:
+                continue
+            feats = [featurize_sentence(t, v["vocab"], v["chars"], unk)
+                     for t in tok_lists]
+            em, lengths = neural_emissions(
+                w, [f[0] for f in feats], [f[1] for f in feats],
+                [f[2] for f in feats])
+            L = em.shape[1]
+            gold = np.zeros((len(tok_lists), L), dtype=np.int64)
+            for b, tl in enumerate(tag_lists):
+                gold[b, :len(tl)] = [tag_ids.get(t, 0) for t in tl]
+            logz = forward_score(em, lengths, w.transitions)
+            gold_s = path_score(em, gold, lengths, w.transitions)
+            total += float((logz - gold_s).sum())
+            n += len(tok_lists)
+        if n:
+            yield pd.DataFrame({"nll": [total], "n": [n]})
+
+    rows = dev.select("tokens", "gold_tags").mapInPandas(run, schema).collect()
+    bc.unpersist(blocking=False)
+    tn = sum(r["n"] for r in rows) or 1
+    return sum(r["nll"] for r in rows) / tn
 
 
 def train_bilstm_crf(
@@ -541,6 +598,10 @@ def train_bilstm_crf(
     adv_alpha: float = 0.0,
     adv_ratio: float = 0.5,
     adv_warmup_epochs: int = 0,
+    momentum: float = 0.0,
+    lr_decay: float = 0.0,
+    dev: DataFrame | None = None,
+    patience: int | None = None,
 ) -> tuple[TaggerWeights, list[dict]]:
     """Distributed full-model SGD: per epoch each partition runs a local
     SGD pass from the broadcast weights and emits ONE delta row; deltas
@@ -558,6 +619,22 @@ def train_bilstm_crf(
     ``ratio_e = adv_ratio * min(1, (epoch+1)/adv_warmup_epochs)``;
     ``adv_warmup_epochs = 0`` means constant ratio.
 
+    Trainer-parity knobs (all default-off, so existing FD-checked
+    behavior is unchanged):
+
+    * ``momentum`` — SGD momentum 0.9 in the reference
+      (train.py:168-169); partition-local velocity (see
+      :func:`sgd_partition_pass`).
+    * ``lr_decay`` — per-epoch decay ``lr_e = lr / (1 + lr_decay·e)``
+      (train.py:525 uses 0.05).
+    * ``dev`` + ``patience`` — early stopping on held-out mean NLL
+      (pytorchtools.py:34-50 monitors val loss with patience 20):
+      after each epoch the dev NLL is computed with a forward-only
+      distributed pass; ``patience`` epochs without improvement stop
+      training and the BEST-dev weights are returned (the reference
+      checkpoints best and reloads). ``dev`` without ``patience``
+      just records ``dev_nll`` per epoch.
+
     Returns (trained weights float32, per-epoch metrics)."""
     sc = sentences.sparkSession.sparkContext
     tags = iobes_tags(entity_types)
@@ -569,10 +646,13 @@ def train_bilstm_crf(
     metrics: list[dict] = []
     data = sentences.select("tokens", "gold_tags")
 
+    best: tuple[float, int, dict] | None = None   # (dev_nll, epoch, arrays)
+    stale = 0
     for epoch in range(epochs):
         bc = sc.broadcast({"w": cur, "vocab": vocab, "chars": char_vocab})
         ratio_e = (adv_ratio if not adv_warmup_epochs else
                    adv_ratio * min(1.0, (epoch + 1) / adv_warmup_epochs))
+        lr_e = lr / (1.0 + lr_decay * epoch)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             v = bc.value
@@ -584,8 +664,8 @@ def train_bilstm_crf(
                 return
             n, nll, arrays = sgd_partition_pass(
                 pdf, v["w"], v["vocab"], v["chars"], unk, tag_ids,
-                lr, clip, batch_size, dropout, seed + epoch,
-                adv_alpha=adv_alpha, adv_ratio=ratio_e)
+                lr_e, clip, batch_size, dropout, seed + epoch,
+                adv_alpha=adv_alpha, adv_ratio=ratio_e, momentum=momentum)
             base = _get_arrays(v["w"])
             row = {"n_sentences": [n], "nll": [nll]}
             for k in _GRAD_KEYS:
@@ -608,8 +688,26 @@ def train_bilstm_crf(
                         r[f"d_{k}"]).reshape(shapes[k])
         cur = _set_arrays(cur, arrays)
         cur.meta.update({"trained": True, "epochs": epoch + 1})
-        metrics.append({"epoch": epoch, "n_sentences": int(total),
-                        "nll_mean": round(float(nll_mean), 6)})
+        row = {"epoch": epoch, "n_sentences": int(total),
+               "nll_mean": round(float(nll_mean), 6),
+               "lr": round(lr_e, 8)}
+        if dev is not None:
+            dev_nll = _mean_dev_nll(dev, cur, vocab, char_vocab, unk,
+                                    tag_ids)
+            row["dev_nll"] = round(dev_nll, 6)
+            if best is None or dev_nll < best[0]:
+                best = (dev_nll, epoch,
+                        {k: (None if v is None else v.copy())
+                         for k, v in _get_arrays(cur).items()})
+                stale = 0
+            else:
+                stale += 1
+        metrics.append(row)
+        if patience is not None and stale >= patience:
+            break
+    if dev is not None and patience is not None and best is not None:
+        cur = _set_arrays(cur, best[2])
+        cur.meta.update({"trained": True, "best_epoch": best[1]})
 
     def f32(a):
         return None if a is None else a.astype(np.float32)

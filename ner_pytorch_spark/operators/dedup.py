@@ -29,28 +29,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-# most-recent cached shingle table (see _cached_shingles): the pair
-# operators reference the shingle subplan from many plan branches
-# (signatures, doc sizes, shingle df, both sides of the blocking join)
-# and Spark evaluates each branch independently — measured 7 evaluations
-# of the same 1.6 s subplan inside one minhash_lsh_pairs action at
-# sf0.1 (12.4 s total). Caching it once cuts the query to the real
-# work. Bounded at one entry; at cluster scale the shingle table for a
-# dedup pass is the natural unit to persist anyway.
-_SH_CACHED: DataFrame | None = None
+# cached shingle tables (see _cached_shingles): the pair operators
+# reference the shingle subplan from many plan branches (signatures,
+# doc sizes, shingle df, both sides of the blocking join) and Spark
+# evaluates each branch independently — measured 7 evaluations of the
+# same 1.6 s subplan inside one minhash_lsh_pairs action at sf0.1
+# (12.4 s total). Persisting it once cuts the query to the real work.
+# Keyed by (input plan, params) so interleaved dedup passes over
+# DIFFERENT corpora keep their own slot (a single-slot global thrashed);
+# LRU-bounded. At cluster scale the shingle table for a dedup pass is
+# the natural unit to persist anyway.
+from ..plan_cache import PlanCache, plan_key
+
+_SH_CACHE = PlanCache(capacity=4)
 
 
 def _cached_shingles(docs: DataFrame, n: int, text_col: str,
                      id_col: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    global _SH_CACHED
-    sh = word_shingles(docs, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    if _SH_CACHED is not None:
-        _SH_CACHED.unpersist(blocking=False)
-    _SH_CACHED = sh
-    return sh
+    key = (plan_key(docs), n, text_col, id_col)
+    return _SH_CACHE.get_or_build(
+        key, lambda: word_shingles(docs, n, text_col, id_col))
 
 
 # ------------------------------------------------------------- exact
@@ -236,9 +234,19 @@ def minhash_lsh_pairs(
     # intersections are computed per candidate via two shingle joins.
     # The same stop-shingle (max_block) guard as ngram_jaccard_pairs
     # keeps the jaccard definition identical between the two operators.
+    # Both verify joins first SEMI-JOIN the corpus-wide shingle table
+    # down to documents that appear in ANY candidate pair — candidates
+    # are typically a tiny fraction of the corpus, so the exact-verify
+    # joins run over candidate shingles only, not all N docs (lossless:
+    # shingle df for the stop-shingle cap is still computed corpus-wide,
+    # keeping the jaccard definition identical).
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    blocked = sh.join(freq.filter(F.col("df") <= max_block), on="shingle")
+    cand_docs = (cands.select(F.col("doc_a").alias("doc_id"))
+                 .union(cands.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    blocked = (sh.join(cand_docs, on="doc_id", how="left_semi")
+               .join(freq.filter(F.col("df") <= max_block), on="shingle"))
     common = (
         cands
         .join(blocked.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
@@ -300,8 +308,9 @@ def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming. LOSSLESS.
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket: int | None = 100_000) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole blocking: the 64-bit hash splits into ``max_hamming + 1``
     near-equal chunks — a pair within Hamming ≤ max_hamming has at most
@@ -309,6 +318,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     ≥1 chunk → every qualifying pair appears in the chunk equi-join
     (a fixed chunk count only guarantees recall for Hamming < n_chunks,
     the round-1 recall bug). Candidates are verified by popcount.
+
+    Skew guard (``max_bucket``): a degenerate corpus value — e.g. every
+    empty/boilerplate page simhashing to the same 64 bits — makes one
+    (chunk_id, chunk) bucket quadratic in the join. Buckets with more
+    than ``max_bucket`` members are dropped from blocking (the
+    ``max_block`` stop-shingle house pattern; such pairs are exact-dup
+    shaped and belong to :func:`exact_duplicates`, which handles them in
+    one linear groupBy). Dropped buckets are observable via
+    :func:`hot_buckets`. ``None`` disables the guard (fully lossless).
     """
     n_chunks = max_hamming + 1
     if n_chunks > 64:
@@ -330,6 +348,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for i, (lo, width) in enumerate(_chunk_bounds(n_chunks))
         ])).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    if max_bucket is not None:
+        freq = chunks.groupBy("chunk_id", "chunk").agg(
+            F.count(F.lit(1)).alias("df"))
+        chunks = chunks.join(freq.filter(F.col("df") <= max_bucket),
+                             on=["chunk_id", "chunk"]).drop("df")
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"),
                       "chunk_id", "chunk")
     b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"),
@@ -345,3 +368,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def hot_buckets(keyed: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Blocking keys whose frequency exceeds ``cap`` — the rows a
+    ``max_bucket``/``max_block`` guard drops. Callers log/inspect this
+    (one extra aggregate) instead of the guard forcing an action inside
+    the lazy pair plan. → (*keys, df) ordered by df desc."""
+    return (keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap).orderBy(F.desc("df")))

@@ -31,8 +31,12 @@ from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
                                LongType, StructField, StructType)
 
 
-# most-recent cached IVF assignment (see ivf_topk): bounded at one
-_IVF_CACHED: DataFrame | None = None
+# cached IVF assignments (see ivf_topk): keyed by (input plan, params,
+# codebook bytes) so interleaved IVF queries over different corpora or
+# codebooks each keep their persisted assignment; LRU-bounded
+from ..plan_cache import PlanCache, plan_key
+
+_IVF_CACHE = PlanCache(capacity=2)
 
 
 def _dot(a, b):
@@ -326,15 +330,15 @@ def ivf_topk(
     # the assignment matmul feeds BOTH join sides (index + queries) and,
     # with max_cell, the split-count aggregate — persist so one Arrow
     # pass serves all consumers instead of recomputing per plan subtree.
-    # At most one IVF assignment stays cached per session (LRU below).
-    from pyspark import StorageLevel
+    # Keyed by (input plan, cols, n_probe, codebook bytes); LRU-bounded.
+    import hashlib
 
-    assigned = embeddings.select(id_col, emb_col).mapInPandas(
-        assign, assign_schema).persist(StorageLevel.MEMORY_AND_DISK)
-    global _IVF_CACHED
-    if _IVF_CACHED is not None:
-        _IVF_CACHED.unpersist(blocking=False)
-    _IVF_CACHED = assigned
+    cache_key = (plan_key(embeddings), id_col, emb_col, n_probe,
+                 hashlib.md5(cents.tobytes()).hexdigest())
+    assigned = _IVF_CACHE.get_or_build(
+        cache_key,
+        lambda: embeddings.select(id_col, emb_col).mapInPandas(
+            assign, assign_schema))
     index = assigned.select("cell", F.col("vec_id").alias("neighbor_id"),
                             F.col("emb").alias("emb_b"))
     queries = assigned.select(
@@ -401,7 +405,7 @@ def lsh_planes(seed: int, n_tables: int, n_bits: int, dim: int) -> np.ndarray:
 def lsh_topk(
     embeddings: DataFrame, k: int = 5, n_bits: int = 8, n_tables: int = 2,
     id_col: str = "vec_id", emb_col: str = "embedding", dim: int | None = None,
-    seed: int = 42,
+    seed: int = 42, max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH blocking.
 
@@ -413,6 +417,15 @@ def lsh_topk(
     Shuffle is an equi-join on (table, bucket) — linear in Σ bucket².
     Recall rises with n_tables. Output schema matches :func:`cosine_topk`
     (rank is within the retrieved set).
+
+    Skew guard (``max_bucket``): densely clustered embeddings can put a
+    large corpus fraction into ONE (table, bucket) key, turning the
+    equi-join quadratic. Buckets over the cap are dropped from blocking
+    (recall there is already served by the vector's other ``n_tables``-1
+    tables, and a bucket holding >max_bucket near-identical vectors is
+    dedup territory, not top-k). Dropped buckets are observable via
+    :func:`ner_pytorch_spark.operators.dedup.hot_buckets`. ``None``
+    disables the guard.
     """
     from pyspark.sql.types import ArrayType
 
@@ -448,6 +461,11 @@ def lsh_topk(
         .select("vec_id", "emb",
                 F.posexplode("buckets").alias("table", "bucket"))
     )
+    if max_bucket is not None:
+        bfreq = bucketed.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("df"))
+        bucketed = bucketed.join(bfreq.filter(F.col("df") <= max_bucket),
+                                 on=["table", "bucket"]).drop("df")
     a = bucketed.select("table", "bucket", F.col("vec_id").alias("vec_id"),
                         F.col("emb").alias("emb_a"))
     b = bucketed.select("table", "bucket", F.col("vec_id").alias("neighbor_id"),

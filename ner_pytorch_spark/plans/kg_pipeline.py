@@ -50,7 +50,9 @@ def salted_repartition(df: DataFrame, key: str = "url", salt: int = 64,
     """Spread skewed domains: partition on (xxhash64(domain) % salt,
     xxhash64(key)) so a single hot domain occupies ``salt`` partitions
     instead of one."""
-    domain = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    # no trailing slash: host-only URLs (https://example.com) must still
+    # yield their host, or every such page lands in one "" domain group
+    domain = F.regexp_extract(F.col("url"), r"https?://([^/?#]+)", 1)
     df = df.withColumn("_salt", F.pmod(F.xxhash64(domain), F.lit(salt))) \
            .withColumn("_spread", F.xxhash64(F.col(key)))
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -171,7 +173,7 @@ class KGPipeline:
         cols = pages.columns
         dom = pages.withColumn(
             "_domain",
-            F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1))
+            F.regexp_extract(F.col("url"), r"https?://([^/?#]+)", 1))
         out = strip_boilerplate(
             dom, min_doc_frac=self.boilerplate_frac,
             min_docs=self.boilerplate_min_docs,

@@ -307,3 +307,53 @@ def test_backprop_checkpoint_roundtrip(tmp_path, backprop_bundle):
     assert loaded.meta.get("trained") is True
     np.testing.assert_array_equal(loaded.proj_w, trained.proj_w)
     np.testing.assert_array_equal(loaded.lstm_fw[0], trained.lstm_fw[0])
+
+
+@pytest.fixture(scope="module")
+def tiny_train(spark):
+    from ner_pytorch_spark.operators.vocab import build_vocab, char_vocab
+
+    sents = datagen.adversarial_sentences_dataframe(
+        spark, 60, oov_from=40).persist()
+    train = sents.filter(F.col("page_idx") < 40)
+    dev = sents.filter(F.col("page_idx") >= 40)
+    v, cv = build_vocab(train, min_count=1), char_vocab(train)
+    t2i = {r["token"]: r["id"] for r in v.collect()}
+    c2i = {r["token"]: r["id"] for r in cv.collect()}
+    w0 = TaggerWeights.random_init(
+        max(t2i.values()) + 1, max(c2i.values()) + 1,
+        num_tags=len(iobes_tags()), word_dim=16, char_dim=6, char_out=8,
+        hidden=16, seed=11)
+    return train, dev, t2i, c2i, w0
+
+
+def test_trainer_parity_knobs(tiny_train):
+    """Reference trainer knobs (train.py:168-169 momentum 0.9,
+    train.py:525 lr decay): the decayed lr schedule is recorded per
+    epoch, dev NLL is monitored, and momentum still learns."""
+    train, dev, t2i, c2i, w0 = tiny_train
+    trained, metrics = train_bilstm_crf(
+        train.repartition(2), w0, t2i, c2i, epochs=4, lr=0.2,
+        batch_size=8, dropout=0.0, momentum=0.9, lr_decay=0.5, dev=dev)
+    assert [m["lr"] for m in metrics] == [
+        pytest.approx(0.2 / (1 + 0.5 * e)) for e in range(4)]
+    assert all("dev_nll" in m for m in metrics)
+    assert metrics[-1]["nll_mean"] < metrics[0]["nll_mean"]
+    assert trained.meta.get("trained") is True
+
+
+def test_early_stopping_restores_best(tiny_train, monkeypatch):
+    """pytorchtools.py:34-50 semantics: patience epochs without dev
+    improvement stop training; the returned weights are the best-dev
+    checkpoint (meta records its epoch)."""
+    import ner_pytorch_spark.operators.backprop as bp
+
+    train, dev, t2i, c2i, w0 = tiny_train
+    seq = iter([5.0, 1.0, 2.0, 3.0, 4.0])
+    monkeypatch.setattr(bp, "_mean_dev_nll", lambda *a, **k: next(seq))
+    trained, metrics = bp.train_bilstm_crf(
+        train.repartition(2), w0, t2i, c2i, epochs=10, lr=0.1,
+        batch_size=8, dev=dev, patience=2)
+    assert len(metrics) == 4          # stopped at epoch 3 (stale == 2)
+    assert [m["dev_nll"] for m in metrics] == [5.0, 1.0, 2.0, 3.0]
+    assert trained.meta["best_epoch"] == 1

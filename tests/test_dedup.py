@@ -155,3 +155,46 @@ def test_simhash_properties(docs):
              for r in simhash_pairs(docs, max_hamming=10).collect()}
     assert pairs[(0, 1)] == 0
     assert (3, 4) in pairs  # case-folded → identical hash
+
+
+def test_simhash_max_bucket_guard(spark):
+    """Skew guard: a degenerate corpus (identical docs → one simhash)
+    must not turn the blocking join quadratic. With the cap the hot
+    buckets drop from blocking (0 pairs, exact_duplicates territory);
+    with the guard off the full quadratic answer comes back."""
+    n = 200
+    same = spark.createDataFrame([(i, "same text everywhere") for i in range(n)],
+                                 "doc_id long, text string")
+    assert simhash_pairs(same, max_hamming=3, max_bucket=50).count() == 0
+    assert (simhash_pairs(same, max_hamming=3, max_bucket=None).count()
+            == n * (n - 1) // 2)
+    # and exact dedup handles the degenerate group linearly
+    g = exact_duplicates(same).collect()
+    assert len(g) == 1 and g[0].n_dups == n
+
+
+def test_hot_buckets_reports_dropped_keys(spark):
+    from ner_pytorch_spark.operators.dedup import hot_buckets
+
+    keyed = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 0)], "k string, v long")
+    hot = hot_buckets(keyed, ["k"], cap=5).collect()
+    assert [(r.k, r.df) for r in hot] == [("a", 10)]
+
+
+def test_shingle_cache_keyed_by_plan(spark, docs):
+    """Interleaving two corpora keeps both persisted shingle tables
+    (the round-4 single-slot global thrashed on this pattern)."""
+    from ner_pytorch_spark.operators.dedup import _SH_CACHE, _cached_shingles
+
+    other = spark.createDataFrame([(9, "another corpus entirely")],
+                                  "doc_id long, text string")
+    a1 = _cached_shingles(docs, 3, "text", "doc_id")
+    b1 = _cached_shingles(other, 3, "text", "doc_id")
+    a2 = _cached_shingles(docs, 3, "text", "doc_id")
+    b2 = _cached_shingles(other, 3, "text", "doc_id")
+    assert a1 is a2 and b1 is b2 and a1 is not b1
+    # different params → different slot
+    a4 = _cached_shingles(docs, 4, "text", "doc_id")
+    assert a4 is not a1
+    assert len(_SH_CACHE._slots) <= _SH_CACHE.capacity

@@ -306,3 +306,22 @@ def test_linking_empty_alias_bank(spark):
         [("u", 0, 0, "acme", "ORG")],
         "url string, sent_id int, mention_id int, surface string, tag_type string")
     assert candidate_links(mentions, [], k=3).count() == 0
+
+
+def test_lsh_max_bucket_guard(spark):
+    """Skew guard: a dense cluster (identical embeddings) lands in one
+    (table, bucket) key per table; over the cap it drops from blocking
+    so the join stays linear, and distinct vectors are unaffected."""
+    import numpy as np
+    from ner_pytorch_spark.operators.similarity import lsh_topk
+
+    rng = np.random.default_rng(3)
+    hot = [(i, [1.0, 2.0, -0.5, 0.25]) for i in range(50)]
+    cold = [(100 + i, list(map(float, rng.normal(size=4)))) for i in range(6)]
+    df = spark.createDataFrame(hot + cold,
+                               "vec_id long, embedding array<double>")
+    capped = lsh_topk(df, k=3, n_bits=4, n_tables=2, max_bucket=20)
+    got_ids = {r.vec_id for r in capped.collect()}
+    assert not any(i < 50 for i in got_ids)          # hot block dropped
+    full = lsh_topk(df, k=3, n_bits=4, n_tables=2, max_bucket=None)
+    assert any(r.vec_id < 50 for r in full.collect())  # guard off → present

@@ -82,3 +82,16 @@ def test_mention_context_vectors_spark(spark):
     np.testing.assert_allclose(got[("u1", 0, 0)], (h0[2] + h0[4]) / 2)
     np.testing.assert_allclose(got[("u1", 0, 1)], h0[1])
     np.testing.assert_allclose(got[("u1", 1, 0)], h1[1])
+
+
+def test_zero_width_span_raises():
+    import numpy as np
+    import pytest
+    from ner_pytorch_spark.functions.subword import (
+        WordpieceFixtureTokenizer, aligned_mention_vectors)
+
+    t = WordpieceFixtureTokenizer()
+    toks = ["alpha", "beta"]
+    hidden = np.ones((10, 4))
+    with pytest.raises(ValueError, match=r"\(1, 1\)"):
+        aligned_mention_vectors(toks, [(1, 1)], hidden, t)

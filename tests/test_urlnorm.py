@@ -45,3 +45,15 @@ def test_rules_individually(spark):
     }
     got = _norm(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_schemeless_passthrough(spark):
+    """No '://' → pass-through (trim + fragment strip only); assembling
+    '://host' around an empty scheme minted mangled colliding keys."""
+    got = _norm(spark, [" www.Example.com/Path#frag ", "relative/path?a=1"])
+    assert got == ["www.Example.com/Path", "relative/path?a=1"]
+
+
+def test_null_propagates(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(normalize_url(F.col("url")).alias("n")).first().n is None

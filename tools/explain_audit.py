@@ -120,6 +120,24 @@ def main():
     ok &= check("simhash_chunk_equijoin", plan,
                 must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
 
+    # skew guards (round-5): with max_bucket set, both blocking joins
+    # carry the frequency-cap filter — a hot (chunk/bucket) key is
+    # filtered BEFORE the self-join, so a degenerate value can't go
+    # quadratic. The cap shows up as a `df <= N` filter in the plan.
+    from ner_pytorch_spark.operators.dedup import simhash_pairs
+    from ner_pytorch_spark.operators.similarity import lsh_topk
+
+    plan = plan_of(simhash_pairs(e._read(spark, SF, "documents"),
+                                 max_bucket=1000))
+    ok &= check("simhash_bucket_cap_in_plan", plan,
+                must=[r"df#\d+L? <= 1000"],
+                must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
+    emb = e._read(spark, SF, "embeddings")
+    plan = plan_of(lsh_topk(emb, k=3, n_bits=8, n_tables=2, max_bucket=1000))
+    ok &= check("lsh_topk_bucket_cap_in_plan", plan,
+                must=[r"df#\d+L? <= 1000"],
+                must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
+
     # parsed-arc consumer: all arc/mention resolution row-local — the
     # lexicon join is broadcast, never sort-merge
     plan = plan_of(e.q_kg_triples_parsed(spark, SF))
