@@ -490,3 +490,89 @@ def singleton_dropout(
                          F.col("_sing_pos")))
         .drop("_sing_pos")
     )
+
+
+# ------------------------------------------------- the --order cascade
+
+
+def adv_cascade(
+    tagged: DataFrame,
+    order: tuple[str, ...] = ("rep", "ppdb", "para"),
+    aliases: list[dict] | None = None,
+    ppdb_edges: DataFrame | None = None,
+    parse_fn=None,
+    projector=None,
+    n_variants: int = 2,
+    temperature: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference's ``--order 'rep,ppdb,para'`` generator cascade
+    (gen_adv_pipline.py:298-396): each stage consumes the PREVIOUS
+    stage's variants (or the base sentences for the first stage) and
+    rewrites them again.
+
+    * ``rep``  → :func:`adversarial_substitution` (C3, needs aliases)
+    * ``ppdb`` → :func:`o_segment_paraphrase` (C4, needs ppdb_edges;
+      unchanged sentences pass through, keeping the reference's
+      len(updated) == len(input) invariant)
+    * ``para`` → :func:`ner_pytorch_spark.operators.paraphrase.
+      tree_paraphrase` (C4b, needs ``parse_fn``: DataFrame → DataFrame
+      adding an ``arcs`` column — a UDPipe-equipped cluster parses the
+      current variant text here, exactly where udpipe.py:63-102 does)
+
+    Lineage: each stage folds its variant id into the ``url`` key as
+    ``url#<stage><k>`` so per-sentence grouping inside the stage
+    operators stays correct without surgery; the output splits it back
+    out as ``gen_path`` (the reference's ``agg_name`` file-suffix
+    lineage, gen_adv_pipline.py:299-308). First stage fans out
+    ``n_variants``-wide, later stages rewrite 1:1 — the cascade's row
+    count is bounded by n_variants × sentences at every stage.
+    """
+    cur = tagged.select("url", "sent_id", "tokens", "pred_tags")
+    first = True
+    for method in order:
+        n_stage = n_variants if first else 1
+        if method == "rep":
+            if aliases is None:
+                raise ValueError("rep stage needs aliases")
+            out = adversarial_substitution(cur, aliases,
+                                           n_variants=n_stage)
+            out = out.withColumn(
+                "url", F.concat_ws("#", "url", F.concat(
+                    F.lit("rep"), F.col("variant_id").cast("string"))))
+        elif method == "ppdb":
+            if ppdb_edges is None:
+                raise ValueError("ppdb stage needs ppdb_edges")
+            changed = o_segment_paraphrase(cur, ppdb_edges)
+            out = (cur.join(changed, on=["url", "sent_id"], how="left")
+                   .select("url", "sent_id",
+                           F.coalesce(changed["adv_tokens"],
+                                      cur["tokens"]).alias("adv_tokens"),
+                           F.coalesce(changed["adv_tags"],
+                                      cur["pred_tags"]).alias("adv_tags"))
+                   .withColumn("url", F.concat_ws("#", "url",
+                                                  F.lit("ppdb"))))
+        elif method == "para":
+            from .paraphrase import tree_paraphrase
+            if parse_fn is None:
+                raise ValueError("para stage needs parse_fn (the parser "
+                                 "socket — udpipe.py:63-102)")
+            out = tree_paraphrase(parse_fn(cur), projector=projector,
+                                  temperature=temperature, n=n_stage,
+                                  seed=seed)
+            out = out.withColumn(
+                "url", F.concat_ws("#", "url", F.concat(
+                    F.lit("para"), F.col("variant_id").cast("string"))))
+        else:
+            raise ValueError(f"unknown cascade stage {method!r}")
+        cur = out.select(
+            "url", "sent_id",
+            F.col("adv_tokens").alias("tokens"),
+            F.col("adv_tags").alias("pred_tags"))
+        first = False
+    split = F.split("url", "#")
+    return cur.select(
+        F.element_at(split, 1).alias("url"), "sent_id",
+        F.array_join(F.slice(split, 2, 64), "/").alias("gen_path"),
+        F.col("tokens").alias("adv_tokens"),
+        F.col("pred_tags").alias("adv_tags"))
