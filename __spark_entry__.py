@@ -1104,7 +1104,7 @@ def q_kg_conll_prf(spark, sf_dir):
     from ner_pytorch_spark.sources.conll import load_sentences
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "dist", "conll_weights.npz")
+                        "artifacts", "conll_weights.npz")
     weights = TaggerWeights.from_npz(ckpt)
     with open(ckpt.replace(".npz", "_vocab.json")) as f:
         vocabs = json.load(f)
@@ -1567,12 +1567,6 @@ SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY cosine DESC, neighbor_id) AS rn
   FROM scored) WHERE rn <= 5""",
-        "cosine_topk": f"""
-WITH pairs AS ({_COSINE_PAIRS})
-SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY cosine DESC, neighbor_id) AS rn
-  FROM pairs) WHERE rn <= 5""",
         "broadcast_knn": f"""
 WITH pairs AS ({_COSINE_PAIRS})
 SELECT vec_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM (

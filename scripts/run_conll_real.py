@@ -52,7 +52,7 @@ def main():
                     help="cap train sentences (0 = all; for smoke runs)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="/root/repo/CONLL_REAL.json")
-    ap.add_argument("--save-weights", default="/root/repo/dist/conll_weights.npz",
+    ap.add_argument("--save-weights", default="/root/repo/artifacts/conll_weights.npz",
                     help="S6 checkpoint for the trained model ('' = skip); "
                          "vocab json saved alongside — the kg_conll_prf "
                          "driver query resumes from this checkpoint")
@@ -84,10 +84,14 @@ def main():
     if args.train_limit:
         train = train.filter(F.col("sent_id") < args.train_limit)
     dev = prep(f"{DATASET}/eng.testa", "testa")
+    test = prep(f"{DATASET}/eng.testb", "testb")
     train = train.repartition(args.partitions).persist()
-    dev = dev.persist()
-    n_train, n_dev = train.count(), dev.count()
-    print(f"sentences: train={n_train} dev={n_dev}", flush=True)
+    # dev/test arrive as 1-2 text-file splits; the per-epoch forward-only
+    # NLL pass and the final tagging both need real parallelism.
+    dev = dev.repartition(32).persist()
+    test = test.repartition(32).persist()
+    n_train, n_dev, n_test = train.count(), dev.count(), test.count()
+    print(f"sentences: train={n_train} dev={n_dev} test={n_test}", flush=True)
 
     v, cv = build_vocab(train, min_count=3), char_vocab(train)
     t2i = {r["token"]: r["id"] for r in v.collect()}
@@ -117,21 +121,30 @@ def main():
         print("checkpoint ->", args.save_weights, flush=True)
 
     t1 = time.time()
-    tagged = tag_sentences(dev.select("url", "sent_id", "tokens"),
-                           mode="neural", weights=trained,
-                           vocab=t2i, char_vocab=c2i)
-    prf = chunk_prf(tagged.join(dev.select("url", "sent_id", "gold_tags"),
-                                on=["url", "sent_id"]))
-    rows = {r.tag_type: r.asDict() for r in prf.collect()}
+
+    def score(split, name):
+        tagged = tag_sentences(split.select("url", "sent_id", "tokens"),
+                               mode="neural", weights=trained,
+                               vocab=t2i, char_vocab=c2i)
+        prf = chunk_prf(tagged.join(
+            split.select("url", "sent_id", "gold_tags"),
+            on=["url", "sent_id"]))
+        out = {r.tag_type: r.asDict() for r in prf.collect()}
+        for t, r in sorted(out.items()):
+            print(f"{name} {t:8s} P={r['precision']:.4f} "
+                  f"R={r['recall']:.4f} F1={r['f1']:.4f}", flush=True)
+        return out
+
+    rows = score(dev, "testa")
+    rows_test = score(test, "testb")
     eval_secs = time.time() - t1
-    for t, r in sorted(rows.items()):
-        print(f"{t:8s} P={r['precision']:.4f} R={r['recall']:.4f} "
-              f"F1={r['f1']:.4f}", flush=True)
 
     out = {
         "dataset": {"train": f"{DATASET}/eng.train",
                     "dev": f"{DATASET}/eng.testa",
+                    "test": f"{DATASET}/eng.testb",
                     "n_train_sentences": n_train, "n_dev_sentences": n_dev,
+                    "n_test_sentences": n_test,
                     "n_words_vocab": len(t2i), "n_chars_vocab": len(c2i)},
         "config": {k: getattr(args, k.replace("-", "_")) for k in
                    ("epochs", "patience", "lr", "momentum", "word_dim",
@@ -140,7 +153,9 @@ def main():
         | {"lr_decay": args.lr_decay, "glove": "ABSENT (random init)"},
         "per_epoch": metrics,
         "dev_chunk_prf": rows,
+        "test_chunk_prf": rows_test,
         "overall_f1": rows["OVERALL"]["f1"],
+        "test_overall_f1": rows_test["OVERALL"]["f1"],
         "train_secs": round(train_secs, 1),
         "eval_secs": round(eval_secs, 1),
         "note": ("random-init embeddings (no GloVe in sandbox) + "
