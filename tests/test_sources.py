@@ -178,3 +178,40 @@ def test_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_word2vec_source_and_vocab_extension(spark):
+    """S2-without-GloVe: MLlib skip-gram vectors in the GloVe table
+    shape, normalized like build_vocab; J1 id-extension keeps base ids
+    stable and appends extras by token order with freq 0."""
+    from ner_pytorch_spark.operators.vocab import build_vocab
+    from ner_pytorch_spark.sources.word2vec import (extend_vocab_ids,
+                                                    train_word2vec)
+
+    rows = [(["The", "cat", "sat", "on", "the", "mat"],),
+            (["The", "dog", "sat", "on", "the", "mat"],),
+            (["A", "cat", "and", "a", "dog", "met", "in", "1999"],)] * 10
+    df = spark.createDataFrame(rows, "tokens array<string>")
+    vec = train_word2vec(df, dim=16, min_count=2, iters=2).persist()
+    got = {r.token: r.vector for r in vec.collect()}
+    assert "cat" in got and len(got["cat"]) == 16
+    assert "the" in got and "The" not in got         # lowercased
+    assert "0000" in got and "1999" not in got       # digit-folded
+    # the produced VOCABULARY is deterministic (vector values are not —
+    # MLlib averages per-partition models whose thread interleaving
+    # varies run to run; the artifact checkpoint freezes one draw)
+    vec2 = train_word2vec(df, dim=16, min_count=2, iters=2)
+    got2 = {r.token: r.vector for r in vec2.collect()}
+    assert set(got) == set(got2)
+
+    v = build_vocab(df, min_count=3)
+    base = {r.token: (r.id, r.freq) for r in v.collect()}
+    extra = spark.createDataFrame(
+        [("zebra",), ("cat",), ("<UNK>",)], "token string")
+    v2 = extend_vocab_ids(v, extra)
+    ext = {r.token: (r.id, r.freq) for r in v2.collect()}
+    for t, pair in base.items():
+        assert ext[t] == pair                        # base ids stable
+    assert ext["zebra"] == (max(i for i, _ in base.values()) + 1, 0)
+    assert len(ext) == len(base) + 1                 # cat+UNK not re-added
+    vec.unpersist()
