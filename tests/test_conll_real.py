@@ -115,3 +115,37 @@ def test_iobes_rewrite_on_real_tags(spark, eng_testa):
             df.select(F.explode("iobes")).distinct().collect()}
     types = {t.split("-")[-1] for t in tags if t != "O"}
     assert types == {"LOC", "MISC", "ORG", "PER"}
+
+
+def test_recorded_real_f1_floor_and_checkpoint_roundtrip():
+    """The committed real-corpus artifact honors the quality floor: the
+    recorded dev (testa) chunk F1 is >= 0.70 (the honest no-GloVe gate —
+    published reference reaches 90.94 WITH GloVe 6B vectors, which do
+    not ship in this sandbox), and the committed S6 checkpoint the
+    kg_conll_prf driver query resumes from actually loads with shapes
+    consistent with its vocab json."""
+    import json
+
+    import numpy as np
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec_path = os.path.join(root, "CONLL_REAL.json")
+    ckpt = os.path.join(root, "artifacts", "conll_weights.npz")
+    if not (os.path.exists(rec_path) and os.path.exists(ckpt)):
+        pytest.skip("real-corpus artifact not yet recorded")
+
+    with open(rec_path) as f:
+        rec = json.load(f)
+    assert rec["dataset"]["train"].endswith("eng.train")
+    assert rec["dataset"]["n_train_sentences"] == 14041
+    assert rec["overall_f1"] >= 0.70, rec["overall_f1"]
+    assert rec["dev_chunk_prf"]["OVERALL"]["f1"] == rec["overall_f1"]
+
+    from ner_pytorch_spark.operators.encoder import TaggerWeights
+    w = TaggerWeights.from_npz(ckpt)
+    with open(ckpt.replace(".npz", "_vocab.json")) as f:
+        vocabs = json.load(f)
+    assert w.word_emb.shape[0] >= max(vocabs["word"].values()) + 1
+    assert w.char_emb.shape[0] >= max(vocabs["char"].values()) + 1
+    assert np.all(np.isfinite(w.word_emb))
+    assert w.meta.get("trained") or w.transitions is not None
