@@ -427,6 +427,21 @@ def main():
         "sf": SF,
         **extras,
     }
+    # surface the recorded REAL-corpus quality gate in the per-round
+    # artifact (produced by scripts/run_conll_real.py, committed with
+    # its checkpoint; not re-trained here — bench measures throughput)
+    conll_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "CONLL_REAL.json")
+    if os.path.exists(conll_path):
+        with open(conll_path) as fh:
+            rec = json.load(fh)
+        result["conll_real"] = {
+            "dev_f1": rec.get("overall_f1"),
+            "test_f1": rec.get("test_overall_f1"),
+            "pretrain": rec.get("config", {}).get("pretrain", "none"),
+            "n_train_sentences": rec.get("dataset", {})
+                                    .get("n_train_sentences"),
+        }
     # FULL artifact (per-round scaling detail) → a committed file the
     # driver's stdout tail can't truncate; stdout gets a COMPACT single
     # line (round-3's full line overflowed the tail window and the
