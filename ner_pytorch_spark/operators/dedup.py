@@ -42,6 +42,10 @@ from pyspark.sql.types import LongType
 from ..plan_cache import PlanCache, plan_key
 
 _SH_CACHE = PlanCache(capacity=4)
+# minhash_lsh_pairs' per-doc table (signature + capped shingle set):
+# one bounded row per doc, referenced by the bucket self-join and both
+# exact-verify joins — persisted keyed the same way.
+_DOC_CACHE = PlanCache(capacity=4)
 
 
 def _cached_shingles(docs: DataFrame, n: int, text_col: str,
@@ -106,10 +110,13 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
             F.size("toks") < n, F.array(F.array_join("toks", " "))
         ).otherwise(ngrams(F.col("toks"))).alias("shingles"),
     )
+    # per-doc dedup happens in-place on the array (array_distinct) so
+    # the distinct contract costs no shuffle — the old row-level
+    # .distinct() was a full exchange of every shingle instance.
     return (
-        sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        sh.select("doc_id",
+                  F.explode(F.array_distinct("shingles")).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -128,8 +135,12 @@ def ngram_jaccard_pairs(
     """
     sh = _cached_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    blocked = sh.join(freq.filter(F.col("df") <= max_block), on="shingle")
+    # anti-join against the (tiny, AQE-broadcastable) stop-shingle set
+    # instead of an equi-join with the full corpus df table — same rows,
+    # no by-shingle re-shuffle of the corpus shingle relation.
+    stop = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_block))
+    blocked = sh.join(stop, on="shingle", how="left_anti")
 
     a = blocked.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = blocked.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -193,10 +204,21 @@ def _lsh_buckets(sh: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     concats, so (band, key) equality is exactly "all rows of the band
     agree" — the same candidate set as the long path (tested equal).
     """
-    rpb = n_hashes // bands
-    sig_wide = sh.groupBy("doc_id").agg(*[
+    sig_wide = sh.groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
+    return _band_stack(sig_wide, n_hashes, bands)
+
+
+def _minhash_aggs(n_hashes: int) -> list:
+    """The n_hashes per-doc min-hash aggregate columns (h0..h{n-1})."""
+    return [
         F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))))
-        .alias(f"h{i}") for i in range(n_hashes)])
+        .alias(f"h{i}") for i in range(n_hashes)]
+
+
+def _band_stack(sig_wide: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """h0..h{n-1} wide columns → (doc_id, band, bucket_key) long form —
+    pure projection (``stack``), no exchange."""
+    rpb = n_hashes // bands
     args = []
     for b in range(bands):
         args.append(F.lit(b))
@@ -218,10 +240,52 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes/bands; docs agreeing on ALL rows of ≥1 band
     become candidates (bucket equi-join), then exact n-gram Jaccard
     filters ≥ threshold. Output: (doc_a, doc_b, jaccard).
+
+    Plan shape (round-5 restructure): ONE corpus-wide doc aggregation
+    produces everything the query needs per document — the n_hashes
+    min-hash signature columns (over ALL shingles), the uncapped
+    shingle count (jaccard denominator), and the df-capped shingle set
+    (jaccard numerator; same stop-shingle ``max_block`` guard as
+    ``ngram_jaccard_pairs``, df computed corpus-wide so the jaccard
+    definition is identical between the two operators). The previous
+    plan derived those in four separate subplans (sig_wide, sizes,
+    freq-join, candidate-semi-joined blocked shingles) and verified
+    candidates through two shingle equi-joins plus a groupBy plus two
+    size joins — ~6 more serial exchanges whose per-stage scheduling
+    overhead dominated at small SF and whose shingle re-shuffles
+    dominate at large SF. Exact-verify is now two equi-joins of the
+    candidate pairs against the persisted doc table and a pure
+    ``array_intersect`` projection. The doc table is one bounded row
+    per document (signature + capped distinct-shingle array, i.e.
+    O(doc tokens)), persisted via the keyed plan cache because the
+    bucket self-join and both verify joins reference it.
     """
     assert n_hashes % bands == 0
-    sh = _cached_shingles(docs, n, text_col, id_col)
-    buckets = _lsh_buckets(sh, n_hashes, bands)
+
+    def build():
+        sh = _cached_shingles(docs, n, text_col, id_col)
+        # only the STOP shingles (df > max_block) are joined — a set
+        # bounded by total-shingle-instances/max_block, usually tiny, so
+        # AQE broadcasts it and the corpus shingle table is never
+        # re-shuffled by shingle for the cap.
+        stop = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_block).select("shingle", "df"))
+        return (
+            sh.join(stop, on="shingle", how="left")
+            .groupBy("doc_id")
+            .agg(*_minhash_aggs(n_hashes),
+                 F.count(F.lit(1)).alias("n_sh"),
+                 # collect_list drops the NULLs when() leaves for
+                 # stop-shingles; shingle rows are distinct per doc, so
+                 # this is the doc's capped shingle SET.
+                 F.collect_list(
+                     F.when(F.col("df").isNull(), F.col("shingle"))
+                 ).alias("shs"))
+        )
+
+    doc_table = _DOC_CACHE.get_or_build(
+        (plan_key(docs), n_hashes, n, text_col, id_col, max_block), build)
+    buckets = _band_stack(doc_table, n_hashes, bands)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket_key")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket_key")
     cands = (
@@ -229,36 +293,20 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     )
-    # verify ONLY the candidate pairs with exact jaccard — the whole
-    # point of LSH is to never touch the quadratic all-pairs space, so
-    # intersections are computed per candidate via two shingle joins.
-    # The same stop-shingle (max_block) guard as ngram_jaccard_pairs
-    # keeps the jaccard definition identical between the two operators.
-    # Both verify joins first SEMI-JOIN the corpus-wide shingle table
-    # down to documents that appear in ANY candidate pair — candidates
-    # are typically a tiny fraction of the corpus, so the exact-verify
-    # joins run over candidate shingles only, not all N docs (lossless:
-    # shingle df for the stop-shingle cap is still computed corpus-wide,
-    # keeping the jaccard definition identical).
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    cand_docs = (cands.select(F.col("doc_a").alias("doc_id"))
-                 .union(cands.select(F.col("doc_b").alias("doc_id")))
-                 .distinct())
-    blocked = (sh.join(cand_docs, on="doc_id", how="left_semi")
-               .join(freq.filter(F.col("df") <= max_block), on="shingle"))
-    common = (
-        cands
-        .join(blocked.select(F.col("doc_id").alias("doc_a"), "shingle"), on="doc_a")
-        .join(blocked.select(F.col("doc_id").alias("doc_b"), "shingle"),
-              on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sa = doc_table.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n_sh").alias("n_a"),
+                          F.col("shs").alias("shs_a"))
+    sb = doc_table.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n_sh").alias("n_b"),
+                          F.col("shs").alias("shs_b"))
     return (
-        common.join(sa, on="doc_a").join(sb, on="doc_b")
+        cands.join(sa, on="doc_a").join(sb, on="doc_b")
+        .withColumn("n_common",
+                    F.size(F.array_intersect("shs_a", "shs_b")))
+        # pairs with no capped shingle in common never surfaced from the
+        # old inner-join formulation; keep that contract for any
+        # threshold (incl. 0)
+        .filter(F.col("n_common") > 0)
         .withColumn("jaccard",
                     F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
