@@ -46,6 +46,11 @@ _SH_CACHE = PlanCache(capacity=4)
 # one bounded row per doc, referenced by the bucket self-join and both
 # exact-verify joins — persisted keyed the same way.
 _DOC_CACHE = PlanCache(capacity=4)
+# simhash_pairs' per-doc (doc_id, simhash) table: one 16-byte row per
+# doc, referenced by the bucket-frequency branch and both sides of the
+# pigeonhole blocking self-join — persisted keyed the same way so the
+# tokenize+hash Pandas UDF runs once per corpus, not once per branch.
+_SIMHASH_CACHE = PlanCache(capacity=4)
 
 
 def _cached_shingles(docs: DataFrame, n: int, text_col: str,
@@ -379,10 +384,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     n_chunks = max_hamming + 1
     if n_chunks > 64:
         raise ValueError("max_hamming must be < 64")
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_udf(_norm_tokens(text_col)).alias("simhash"),
-    )
+    # the per-doc simhash table is referenced by the bucket-frequency
+    # branch and BOTH sides of the blocking self-join — persist it (one
+    # 16-byte row per doc) so the tokenize+hash subplan runs once, not
+    # 4×. Same keyed-cache house pattern as the LSH doc table.
+    sh = _SIMHASH_CACHE.get_or_build(
+        (plan_key(docs), text_col, id_col),
+        lambda: docs.select(
+            F.col(id_col).alias("doc_id"),
+            simhash_udf(_norm_tokens(text_col)).alias("simhash"),
+        ))
     def _chunk(lo: int, width: int):
         c = F.shiftrightunsigned("simhash", lo)
         if width < 64:  # (1<<64)-1 overflows LongType; width 64 = whole hash
