@@ -322,7 +322,7 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------ SimHash
 
 
-def simhash64(tokens: list[str]) -> int:
+def simhash64(tokens: list[str], _memo: dict | None = None) -> int:
     """64-bit SimHash over md5 token hashes (numpy-vectorized).
 
     The per-token 64-bit hash is the FIRST 8 md5 digest bytes read
@@ -331,6 +331,10 @@ def simhash64(tokens: list[str]) -> int:
     ``simhash_pairs`` end-to-end. Bit p of the result is the sign of the
     ±1 majority vote over token-hash bits p; the uint64 is reinterpreted
     as two's-complement int64 for LongType (XOR/popcount-invariant).
+
+    ``_memo`` (token → 8-byte digest) lets a caller share the md5 work
+    across documents — natural-language corpora repeat most tokens, so
+    the Arrow batch UDF hashes each distinct token once per batch.
     """
     import hashlib
 
@@ -338,9 +342,19 @@ def simhash64(tokens: list[str]) -> int:
 
     if not tokens:
         return 0
-    u = np.frombuffer(
-        b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in tokens),
-        dtype="<u8")                                     # [n] little-endian
+    if _memo is None:
+        bs = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8]
+                      for t in tokens)
+    else:
+        parts = []
+        for t in tokens:
+            b = _memo.get(t)
+            if b is None:
+                b = hashlib.md5(t.encode("utf-8")).digest()[:8]
+                _memo[t] = b
+            parts.append(b)
+        bs = b"".join(parts)
+    u = np.frombuffer(bs, dtype="<u8")                   # [n] little-endian
     bits = ((u[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
     votes = bits.sum(axis=0) * 2 - len(tokens)           # ±1 majority
     out = 0
@@ -351,7 +365,9 @@ def simhash64(tokens: list[str]) -> int:
 
 @F.pandas_udf(LongType())
 def simhash_udf(tokens: pd.Series) -> pd.Series:
-    return tokens.map(lambda ts: simhash64(list(ts)) if ts is not None else None)
+    memo: dict = {}
+    return tokens.map(
+        lambda ts: simhash64(list(ts), _memo=memo) if ts is not None else None)
 
 
 def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
