@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--w2v-iters", type=int, default=10)
     ap.add_argument("--w2v-min-count", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--init-from", default="",
+                    help="warm-start from a saved .npz checkpoint; vocab "
+                         "is taken from its sibling _vocab.json (so use "
+                         "--pretrain none — the checkpoint already "
+                         "carries the pretrained/trained word_emb and "
+                         "any J1 vocab extension)")
     ap.add_argument("--out", default="/root/repo/CONLL_REAL.json")
     ap.add_argument("--save-weights", default="/root/repo/artifacts/conll_weights.npz",
                     help="S6 checkpoint for the trained model ('' = skip); "
@@ -127,13 +133,30 @@ def main():
     c2i = {r["token"]: r["id"] for r in cv.collect()}
     print(f"vocab: words={len(t2i)} chars={len(c2i)}", flush=True)
 
-    w0 = TaggerWeights.random_init(
-        max(t2i.values()) + 1, max(c2i.values()) + 1,
-        num_tags=len(iobes_tags()), word_dim=args.word_dim,
-        char_dim=args.char_dim, char_out=args.char_out,
-        hidden=args.hidden, seed=args.seed)
+    if args.init_from:
+        # Continuation training (S6 resume): ids must match the
+        # checkpoint's embedding rows exactly, so the vocab comes from
+        # the sibling json, not the rebuild (which differs when the
+        # checkpoint run extended the vocab via the J1 w2v join).
+        with open(args.init_from.replace(".npz", "_vocab.json")) as f:
+            saved = json.load(f)
+        t2i, c2i = saved["word"], saved["char"]
+        print(f"warm start: vocab from checkpoint words={len(t2i)} "
+              f"chars={len(c2i)}", flush=True)
+
+    if args.init_from:
+        w0 = TaggerWeights.from_npz(args.init_from)
+        if w0.word_emb.shape[0] != max(t2i.values()) + 1:
+            raise SystemExit("checkpoint word_emb rows != vocab size")
+        print(f"warm start <- {args.init_from}", flush=True)
+    else:
+        w0 = TaggerWeights.random_init(
+            max(t2i.values()) + 1, max(c2i.values()) + 1,
+            num_tags=len(iobes_tags()), word_dim=args.word_dim,
+            char_dim=args.char_dim, char_out=args.char_out,
+            hidden=args.hidden, seed=args.seed)
     n_vec = 0
-    if vec is not None:
+    if vec is not None and not args.init_from:
         import dataclasses
 
         from ner_pytorch_spark.operators.weights_io import (
@@ -195,6 +218,7 @@ def main():
         | {"lr_decay": args.lr_decay,
            "glove": "ABSENT from sandbox",
            "pretrain": args.pretrain,
+           "init_from": args.init_from,
            "n_pretrained_vectors": n_vec},
         "per_epoch": metrics,
         "dev_chunk_prf": rows,
