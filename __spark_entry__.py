@@ -1106,10 +1106,8 @@ def q_kg_conll_prf(spark, sf_dir):
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "artifacts", "conll_weights.npz")
     weights = TaggerWeights.from_npz(ckpt)
-    with open(ckpt.replace(".npz", "_vocab.json")) as f:
-        vocabs = json.load(f)
-    t2i = {k: int(v) for k, v in vocabs["word"].items()}
-    c2i = {k: int(v) for k, v in vocabs["char"].items()}
+    vocabs = TaggerWeights.vocabs_from_npz(ckpt)  # embedded in the npz
+    t2i, c2i = vocabs["word"], vocabs["char"]
 
     dev = (load_sentences(spark, "/root/reference/dataset/eng.testa",
                           zeros=True, lower=False)

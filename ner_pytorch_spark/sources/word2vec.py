@@ -87,7 +87,11 @@ def extend_vocab_ids(vocab: DataFrame, extra_tokens: DataFrame) -> DataFrame:
     extras = (extra_tokens.select("token").distinct()
               .filter(~F.col("token").isin(PAD, UNK))
               .join(base_ids.select("token"), on="token", how="left_anti"))
-    start = (vocab.agg(F.max("id")).first()[0] or 0) + 1
+    # `or 0` would also catch a legitimate max id of 0 AND an empty
+    # vocab's None identically, starting extras at 1 and leaving id 0
+    # unused on an empty base — distinguish the two explicitly
+    m = vocab.agg(F.max("id")).first()[0]
+    start = (m + 1) if m is not None else 0
     w = Window.orderBy(F.asc("token"))
     ranked = extras.select(
         "token",

@@ -55,21 +55,38 @@ def main():
                          "corpus text as the pretrained embedding init "
                          "(the J1/J2 GloVe seam, GloVe being absent here); "
                          "none = reference no-pretrained ablation")
+    ap.add_argument("--augment", choices=["devtest", "all"],
+                    default="devtest",
+                    help="J1 vocab extension breadth (loader.py:177-212): "
+                         "devtest = only dev/test tokens with a pretrained "
+                         "vector join the vocab (parameter 'pre_emb' "
+                         "default); all = EVERY pretrained-vector token "
+                         "joins ('all_emb' mode, train.py:92-98)")
     ap.add_argument("--w2v-iters", type=int, default=10)
     ap.add_argument("--w2v-min-count", type=int, default=2)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--init-from", default="",
                     help="warm-start from a saved .npz checkpoint; vocab "
-                         "is taken from its sibling _vocab.json (so use "
-                         "--pretrain none — the checkpoint already "
-                         "carries the pretrained/trained word_emb and "
-                         "any J1 vocab extension)")
+                         "comes from the blob embedded in the npz, and "
+                         "--pretrain is forced to 'none' (the checkpoint "
+                         "already carries the pretrained/trained word_emb "
+                         "and any J1 vocab extension)")
     ap.add_argument("--out", default="/root/repo/CONLL_REAL.json")
     ap.add_argument("--save-weights", default="/root/repo/artifacts/conll_weights.npz",
                     help="S6 checkpoint for the trained model ('' = skip); "
-                         "vocab json saved alongside — the kg_conll_prf "
-                         "driver query resumes from this checkpoint")
+                         "vocab maps embedded in the npz — the "
+                         "kg_conll_prf driver query resumes from this "
+                         "checkpoint")
     args = ap.parse_args()
+    if args.init_from and args.pretrain != "none":
+        # the checkpoint already carries the pretrained/trained word_emb
+        # and any J1 vocab extension — training a full MLlib Word2Vec
+        # model here would be minutes of compute thrown away (its output
+        # is overwritten by the checkpoint vocab below)
+        print("warm start: --init-from forces --pretrain none "
+              "(checkpoint already carries the embedding init)",
+              flush=True)
+        args.pretrain = "none"
 
     from pyspark.sql import functions as F
 
@@ -118,16 +135,23 @@ def main():
         vec = train_word2vec(corpus, dim=args.word_dim,
                              min_count=args.w2v_min_count,
                              iters=args.w2v_iters, seed=args.seed).persist()
-        # J1 (loader.py:199-208): dev/test tokens with a pretrained
-        # vector join the vocab (freq 0, ids appended after the base).
-        devtest = (dev.select(F.explode("tokens").alias("token"))
-                   .unionByName(test.select(F.explode("tokens")
-                                            .alias("token")))
-                   .select(F.regexp_replace(F.lower("token"), "[0-9]", "0")
-                           .alias("token"))
-                   .distinct()
-                   .join(vec.select("token"), on="token", how="left_semi"))
-        v = extend_vocab_ids(v, devtest)
+        if args.augment == "all":
+            # J1 'all_emb' mode (train.py:92-98 → loader.py:177-195):
+            # EVERY token with a pretrained vector joins the vocab.
+            v = extend_vocab_ids(v, vec.select("token"))
+        else:
+            # J1 default (loader.py:199-208): dev/test tokens with a
+            # pretrained vector join the vocab (freq 0, appended ids).
+            devtest = (dev.select(F.explode("tokens").alias("token"))
+                       .unionByName(test.select(F.explode("tokens")
+                                                .alias("token")))
+                       .select(F.regexp_replace(F.lower("token"),
+                                                "[0-9]", "0")
+                               .alias("token"))
+                       .distinct()
+                       .join(vec.select("token"), on="token",
+                             how="left_semi"))
+            v = extend_vocab_ids(v, devtest)
 
     t2i = {r["token"]: r["id"] for r in v.collect()}
     c2i = {r["token"]: r["id"] for r in cv.collect()}
@@ -136,10 +160,9 @@ def main():
     if args.init_from:
         # Continuation training (S6 resume): ids must match the
         # checkpoint's embedding rows exactly, so the vocab comes from
-        # the sibling json, not the rebuild (which differs when the
-        # checkpoint run extended the vocab via the J1 w2v join).
-        with open(args.init_from.replace(".npz", "_vocab.json")) as f:
-            saved = json.load(f)
+        # the blob embedded in the npz, not the rebuild (which differs
+        # when the checkpoint run extended the vocab via the J1 join).
+        saved = TaggerWeights.vocabs_from_npz(args.init_from)
         t2i, c2i = saved["word"], saved["char"]
         print(f"warm start: vocab from checkpoint words={len(t2i)} "
               f"chars={len(c2i)}", flush=True)
@@ -148,6 +171,10 @@ def main():
         w0 = TaggerWeights.from_npz(args.init_from)
         if w0.word_emb.shape[0] != max(t2i.values()) + 1:
             raise SystemExit("checkpoint word_emb rows != vocab size")
+        if w0.char_emb.shape[0] != max(c2i.values()) + 1:
+            # a mismatched char map would send out-of-range char ids
+            # into char_emb at train time instead of failing fast
+            raise SystemExit("checkpoint char_emb rows != char vocab size")
         print(f"warm start <- {args.init_from}", flush=True)
     else:
         w0 = TaggerWeights.random_init(
@@ -180,9 +207,10 @@ def main():
     if args.save_weights:
         import os
         os.makedirs(os.path.dirname(args.save_weights), exist_ok=True)
-        trained.to_npz(args.save_weights)
-        with open(args.save_weights.replace(".npz", "_vocab.json"), "w") as f:
-            json.dump({"word": t2i, "char": c2i}, f)
+        # vocab maps ship INSIDE the npz (compressed blob) — one
+        # self-contained checkpoint, no plaintext token-list sibling
+        trained.to_npz(args.save_weights,
+                       vocabs={"word": t2i, "char": c2i})
         print("checkpoint ->", args.save_weights, flush=True)
 
     t1 = time.time()
@@ -218,6 +246,7 @@ def main():
         | {"lr_decay": args.lr_decay,
            "glove": "ABSENT from sandbox",
            "pretrain": args.pretrain,
+           "augment": args.augment,
            "init_from": args.init_from,
            "n_pretrained_vectors": n_vec},
         "per_epoch": metrics,

@@ -143,8 +143,7 @@ def test_recorded_real_f1_floor_and_checkpoint_roundtrip():
 
     from ner_pytorch_spark.operators.encoder import TaggerWeights
     w = TaggerWeights.from_npz(ckpt)
-    with open(ckpt.replace(".npz", "_vocab.json")) as f:
-        vocabs = json.load(f)
+    vocabs = TaggerWeights.vocabs_from_npz(ckpt)
     assert w.word_emb.shape[0] >= max(vocabs["word"].values()) + 1
     assert w.char_emb.shape[0] >= max(vocabs["char"].values()) + 1
     assert np.all(np.isfinite(w.word_emb))

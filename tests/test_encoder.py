@@ -192,3 +192,24 @@ def test_char_lstm_mode_spark_e2e(spark):
     assert len(out) == sents.count()
     for r in out:
         iobes_iob(list(r.pred_tags))
+
+
+def test_weights_npz_embedded_vocab_roundtrip(tmp_path):
+    """S6: vocab maps round-trip INSIDE the npz (compressed blob — no
+    plaintext token-list sibling file), and a blob-less npz raises."""
+    import pytest
+
+    w = TaggerWeights.random_init(
+        vocab_size=7, char_vocab_size=5, num_tags=len(iobes_tags()))
+    vocabs = {"word": {"<PAD>": 0, "<UNK>": 1, "alpha": 2},
+              "char": {"a": 0, "b": 1}}
+    p = str(tmp_path / "w.npz")
+    w.to_npz(p, vocabs=vocabs)
+    assert TaggerWeights.vocabs_from_npz(p) == vocabs
+    # the token list must not sit in the archive as plaintext
+    with open(p, "rb") as fh:
+        assert b"alpha" not in fh.read()
+    p2 = str(tmp_path / "noblob.npz")
+    w.to_npz(p2)
+    with pytest.raises(KeyError):
+        TaggerWeights.vocabs_from_npz(p2)

@@ -215,3 +215,14 @@ def test_word2vec_source_and_vocab_extension(spark):
     assert ext["zebra"] == (max(i for i, _ in base.values()) + 1, 0)
     assert len(ext) == len(base) + 1                 # cat+UNK not re-added
     vec.unpersist()
+
+
+def test_extend_vocab_ids_empty_base(spark):
+    """J1 edge: on an EMPTY base vocab the appended ids start at 0 (the
+    previous `or 0` fallback started them at 1, wasting id 0)."""
+    from ner_pytorch_spark.sources.word2vec import extend_vocab_ids
+
+    empty = spark.createDataFrame([], "token string, id long, freq long")
+    extra = spark.createDataFrame([("b",), ("a",)], ["token"])
+    out = {r["token"]: r["id"] for r in extend_vocab_ids(empty, extra).collect()}
+    assert out == {"a": 0, "b": 1}
