@@ -210,12 +210,15 @@ def mention_context_vectors(mentions: DataFrame, tagged: DataFrame,
                                  grp["end"].astype(int)))
                 vecs = aligned_mention_vectors(toks, spans, hidden, tok,
                                                pooling)
-                for row_i, (_, r) in enumerate(grp.iterrows()):
+                for row_i, (mid, surf, tt) in enumerate(zip(
+                        grp["mention_id"].tolist(),
+                        grp["surface"].tolist(),
+                        grp["tag_type"].tolist())):
                     out["url"].append(url)
                     out["sent_id"].append(sid)
-                    out["mention_id"].append(r["mention_id"])
-                    out["surface"].append(r["surface"])
-                    out["tag_type"].append(r["tag_type"])
+                    out["mention_id"].append(mid)
+                    out["surface"].append(surf)
+                    out["tag_type"].append(tt)
                     out["embedding"].append(vecs[row_i].tolist())
             yield pd.DataFrame(out)
 

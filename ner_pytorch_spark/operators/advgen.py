@@ -97,15 +97,20 @@ def adversarial_substitution(
         for pdf in batches:
             rows = {k: [] for k in ("url", "sent_id", "variant_id",
                                     "adv_tokens", "adv_tags")}
-            for _, r in pdf.iterrows():
-                tokens = list(r["tokens"])
-                tags = list(r["pred_tags"])
+            # plain-list zip, not iterrows: building a Series per row
+            # costs ~100× the loop body (same fix as linking.py round 1)
+            for url, sid, vid, sub_list, tokens, tags in zip(
+                    pdf["url"].tolist(), pdf["sent_id"].tolist(),
+                    pdf["variant_id"].tolist(), pdf["subs"].tolist(),
+                    pdf["tokens"].tolist(), pdf["pred_tags"].tolist()):
+                tokens = list(tokens)
+                tags = list(tags)
                 out_toks: list[str] = []
                 out_tags: list[str] = []
                 pos = 0
                 # subs sorted by start; keep/replace segmentation
                 # (word_rep.py:291-334 semantics, sentinel-free)
-                for sub in r["subs"]:
+                for sub in sub_list:
                     s, e = int(sub["start"]), int(sub["end"])
                     cand_toks = sub["candidate_surface"].split(" ")
                     tt = sub["tag_type"]
@@ -121,9 +126,9 @@ def adversarial_substitution(
                     pos = e
                 out_toks += tokens[pos:]
                 out_tags += tags[pos:]
-                rows["url"].append(r["url"])
-                rows["sent_id"].append(r["sent_id"])
-                rows["variant_id"].append(r["variant_id"])
+                rows["url"].append(url)
+                rows["sent_id"].append(sid)
+                rows["variant_id"].append(vid)
                 rows["adv_tokens"].append(out_toks)
                 rows["adv_tags"].append(out_tags)
             yield pd.DataFrame(rows)
@@ -180,9 +185,14 @@ def o_segment_paraphrase(
         lut = bc.value
         for pdf in batches:
             rows = {k: [] for k in ("url", "sent_id", "adv_tokens", "adv_tags")}
-            for _, r in pdf.iterrows():
-                tokens = list(r["tokens"])
-                tags = list(r["pred_tags"])
+            # plain-list zip, not iterrows (per-row Series construction
+            # dominated the batch body; the greedy leftmost-longest scan
+            # itself is inherently sequential per sentence)
+            for url, sid, toks_in, tags_in in zip(
+                    pdf["url"].tolist(), pdf["sent_id"].tolist(),
+                    pdf["tokens"].tolist(), pdf["pred_tags"].tolist()):
+                tokens = list(toks_in)
+                tags = list(tags_in)
                 out_toks: list[str] = []
                 out_tags: list[str] = []
                 i, changed = 0, False
@@ -212,8 +222,8 @@ def o_segment_paraphrase(
                         out_tags.append("O")
                         i += 1
                 if changed:
-                    rows["url"].append(r["url"])
-                    rows["sent_id"].append(r["sent_id"])
+                    rows["url"].append(url)
+                    rows["sent_id"].append(sid)
                     rows["adv_tokens"].append(out_toks)
                     rows["adv_tags"].append(out_tags)
             yield pd.DataFrame(rows)
