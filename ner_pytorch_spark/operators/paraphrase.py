@@ -282,10 +282,16 @@ def train_projector(parsed: DataFrame, tags_col: str = "pred_tags",
     as the perceptron/backprop trainers. Shuffle per epoch =
     n_partitions rows; the corpus never moves.
     """
-    vocab = (parsed
-             .select(F.explode(arcs_col).alias("a"))
-             .select(F.col("a.deprel").alias("d"), F.col("a.upos").alias("p"))
-             .distinct().collect())  # bounded: label-set sized
+    # bounded: label-set sized. SORTED — a bare distinct().collect()
+    # returns shuffle order, which varies with spark.sql.shuffle
+    # .partitions (core count), and the feature-index order must be
+    # reproducible for golden-replay checks of downstream paraphrases
+    vocab = sorted(
+        parsed
+        .select(F.explode(arcs_col).alias("a"))
+        .select(F.col("a.deprel").alias("d"), F.col("a.upos").alias("p"))
+        .distinct().collect(),
+        key=lambda r: (r["d"], r["p"]))
     proj = OrderProjector([r["d"] for r in vocab], [r["p"] for r in vocab])
     sc = parsed.sparkSession.sparkContext
     cols = parsed.select("tokens", tags_col, arcs_col)

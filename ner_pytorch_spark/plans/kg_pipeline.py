@@ -29,8 +29,6 @@ handling the join stages.
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,7 +40,9 @@ from ..operators.spans import mentions_table
 from ..operators.tagger import (repartition_by_length, sentences_table,
                                 tag_sentences)
 from ..operators.triples import canonical_triples, sentence_local_triples
-from .catalog import SnapshotCatalog
+from .staged import SnapshotStagedPlan, _partition_lineage  # noqa: F401
+# _partition_lineage re-exported: pre-round-6 callers imported it from
+# this module (it moved to .staged when CorpusPrepPipeline joined)
 
 
 def salted_repartition(df: DataFrame, key: str = "url", salt: int = 64,
@@ -88,17 +88,7 @@ def entity_nodes_from_links(links: DataFrame) -> DataFrame:
     )
 
 
-def _partition_lineage(df: DataFrame, stage: str) -> DataFrame:
-    """Per-partition row counts — the lineage record for one stage."""
-    return (
-        df.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid").agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(F.lit(stage).alias("stage"),
-                F.col("_pid").alias("partition_id"), "n_rows")
-    )
-
-
-class KGPipeline:
+class KGPipeline(SnapshotStagedPlan):
     """Checkpoint-resumable KG construction over a pages DataFrame."""
 
     def __init__(
@@ -117,8 +107,7 @@ class KGPipeline:
         boilerplate_frac: float | None = None,
         boilerplate_min_docs: int = 2,
     ):
-        self.spark = spark
-        self.catalog = SnapshotCatalog(spark, catalog_root)
+        super().__init__(spark, catalog_root)
         self.aliases = aliases
         self.lexicon = predicate_lexicon or PREDICATE_LEXICON
         self.mode = mode
@@ -139,34 +128,6 @@ class KGPipeline:
         # mention per page of the domain. None (default) = off.
         self.boilerplate_frac = boilerplate_frac
         self.boilerplate_min_docs = boilerplate_min_docs
-
-    # ------------------------------------------------------------ util
-    def _metric(self, stage: str, n_rows: int, seconds: float) -> None:
-        m = self.spark.createDataFrame(
-            [(stage, n_rows, float(seconds))],
-            "stage string, n_rows long, seconds double")
-        self.catalog.append_rows("_metrics", m)
-
-    def _stage(self, name: str, resume: bool, build) -> DataFrame:
-        """Run one stage unless its snapshot already exists (resume).
-
-        Post-commit bookkeeping costs ONE action: the per-partition
-        lineage rows are collected (small — one row per partition) and
-        the stage's metric row count is their sum, instead of a separate
-        ``count()`` pass over the snapshot.
-        """
-        if resume and self.catalog.exists(name):
-            return self.catalog.read(name)
-        t0 = time.time()
-        df = build()
-        self.catalog.commit(name, df)
-        out = self.catalog.read(name)
-        lineage = _partition_lineage(out, name).collect()
-        self._metric(name, sum(r["n_rows"] for r in lineage),
-                     time.time() - t0)
-        self.catalog.append_rows("_lineage", self.spark.createDataFrame(
-            lineage, "stage string, partition_id int, n_rows long"))
-        return out
 
     def _strip_boilerplate_pages(self, pages: DataFrame) -> DataFrame:
         """Domain-scoped boilerplate strip with the pages schema kept."""

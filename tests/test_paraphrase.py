@@ -333,3 +333,29 @@ def test_adv_cascade_order_shape(spark):
         assert len(r["adv_tokens"]) == len(r["adv_tags"])
         # rep swapped the entity: John Smith must be gone
         assert "John" not in r["adv_tokens"]
+
+
+def test_kg_adv_para_matches_frozen_golden(spark):
+    """Golden replay (the driver's ★ check for kg_adv_para): the seeded
+    paraphrase cascade over sf0.01 must reproduce the committed frozen
+    table byte-for-byte (scripts/freeze_adv_para_golden.py verifies the
+    output is core-count-invariant before freezing)."""
+    import os
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "golden_kg_adv_para.parquet")
+    if not os.path.exists(golden_path):
+        pytest.skip("golden not yet frozen")
+    key = ["url", "sent_id", "variant_id"]
+    got = (entrymod.queries()["kg_adv_para"](spark, "/root/testdata/sf0.01")
+           .toPandas().sort_values(key).reset_index(drop=True))
+    want = (pd.read_parquet(golden_path)
+            .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
