@@ -189,6 +189,19 @@ def main():
                 must=[r"InMemoryTableScan|InMemoryRelation"],
                 must_not=[r"CartesianProduct", r"BroadcastNestedLoop"])
 
+    # corpus-prep url canonicalization: min_by aggregation must plan as
+    # partial+final HashAggregate (map-side combine of hot URLs), never
+    # a sort-based Window — one row per canonical_url crosses the wire
+    from ner_pytorch_spark.plans.corpus_prep import CorpusPrepPipeline
+
+    cp = CorpusPrepPipeline(spark, "/tmp/_audit_cp")  # plan-only, no run
+    url_plan = plan_of(cp._url_canon(
+        e._read(spark, SF, "documents").selectExpr(
+            "doc_id", "concat('http://EX.com/', doc_id) AS url", "text")))
+    ok &= check("corpus_prep_urlcanon_partial_agg", url_plan,
+                must=[r"partial_min|HashAggregate"],
+                must_not=[r"\(\d+\) Window", r"CartesianProduct"])
+
     # html never read from a parquet-backed pages table when the fused
     # path only consumes (url, text) — column pruning reaches the scan
     import tempfile
