@@ -1159,7 +1159,8 @@ def q_kg_conll_prf(spark, sf_dir):
     from ner_pytorch_spark.functions.tagscheme import iob2_udf, iob_iobes_udf
     from ner_pytorch_spark.operators.encoder import TaggerWeights
     from ner_pytorch_spark.operators.evaluation import chunk_prf
-    from ner_pytorch_spark.operators.tagger import tag_sentences
+    from ner_pytorch_spark.operators.tagger import (repartition_by_length,
+                                                    tag_sentences)
     from ner_pytorch_spark.sources.conll import load_sentences
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -1173,9 +1174,12 @@ def q_kg_conll_prf(spark, sf_dir):
            .withColumn("url", F.lit("eng.testa"))
            .withColumn("gold_tags", iob_iobes_udf(iob2_udf("tags")))
            .drop("tags"))
-    tagged = tag_sentences(dev.select("url", "sent_id", "tokens"),
-                           mode="neural", weights=weights,
-                           vocab=t2i, char_vocab=c2i)
+    # O1 length-batched repartition: the text scan yields ~1 partition,
+    # which would run the 32-way neural stage single-threaded (the
+    # hidden=200 checkpoint costs ~40 s serial vs ~4 s spread).
+    tagged = tag_sentences(
+        repartition_by_length(dev.select("url", "sent_id", "tokens")),
+        mode="neural", weights=weights, vocab=t2i, char_vocab=c2i)
     return (chunk_prf(tagged.join(dev.select("url", "sent_id", "gold_tags"),
                                   on=["url", "sent_id"]))
             .orderBy("tag_type"))
