@@ -119,10 +119,11 @@ def test_iobes_rewrite_on_real_tags(spark, eng_testa):
 
 def test_recorded_real_f1_floor_and_checkpoint_roundtrip():
     """The committed real-corpus artifact honors the quality floor: the
-    recorded dev (testa) chunk F1 is >= 0.85 and test (testb) >= 0.80
+    recorded dev (testa) chunk F1 is >= 0.90 and test (testb) >= 0.85
     (published reference reaches 90.94 WITH GloVe 6B vectors, which do
     not ship in this sandbox; the committed hidden=200 checkpoint
-    reaches dev 0.9061 / test 0.8560 without them), and the committed
+    reaches dev 0.9170 / test 0.8664 without them — above the
+    published dev number), and the committed
     S6 checkpoint the kg_conll_prf driver query resumes from actually
     loads with shapes consistent with its embedded vocab."""
     import json
@@ -139,8 +140,8 @@ def test_recorded_real_f1_floor_and_checkpoint_roundtrip():
         rec = json.load(f)
     assert rec["dataset"]["train"].endswith("eng.train")
     assert rec["dataset"]["n_train_sentences"] == 14041
-    assert rec["overall_f1"] >= 0.85, rec["overall_f1"]
-    assert rec["test_overall_f1"] >= 0.80, rec["test_overall_f1"]
+    assert rec["overall_f1"] >= 0.90, rec["overall_f1"]
+    assert rec["test_overall_f1"] >= 0.85, rec["test_overall_f1"]
     assert rec["dev_chunk_prf"]["OVERALL"]["f1"] == rec["overall_f1"]
 
     from ner_pytorch_spark.operators.encoder import TaggerWeights
