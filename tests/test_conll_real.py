@@ -122,7 +122,7 @@ def test_recorded_real_f1_floor_and_checkpoint_roundtrip():
     recorded dev (testa) chunk F1 is >= 0.90 and test (testb) >= 0.85
     (published reference reaches 90.94 WITH GloVe 6B vectors, which do
     not ship in this sandbox; the committed hidden=200 checkpoint
-    reaches dev 0.9212 / test 0.8728 without them — above the
+    reaches dev 0.9236 / test 0.8751 without them — above the
     published dev number), and the committed
     S6 checkpoint the kg_conll_prf driver query resumes from actually
     loads with shapes consistent with its embedded vocab."""
