@@ -50,7 +50,7 @@ _DOC_CACHE = PlanCache(capacity=4)
 # doc, referenced by the bucket-frequency branch and both sides of the
 # pigeonhole blocking self-join — persisted keyed the same way so the
 # tokenize+hash Pandas UDF runs once per corpus, not once per branch.
-_SIMHASH_CACHE = PlanCache(capacity=4)
+_SIMHASH_CACHE = PlanCache(capacity=8)
 
 
 def _cached_shingles(docs: DataFrame, n: int, text_col: str,
@@ -438,26 +438,157 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             for i, (lo, width) in enumerate(_chunk_bounds(n_chunks))
         ])).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    # bucket-frequency table: referenced by the in-plan cap join AND the
+    # driver-side hot-set collect below — persist it (≤ n_chunks×2^width
+    # tiny rows) so it aggregates once per corpus, not twice per call.
+    freq = _SIMHASH_CACHE.get_or_build(
+        (plan_key(docs), text_col, id_col, n_chunks, "freq"),
+        lambda: chunks.groupBy("chunk_id", "chunk").agg(
+            F.count(F.lit(1)).alias("df")))
+    hot_vals: dict[int, "object"] = {}
     if max_bucket is not None:
-        freq = chunks.groupBy("chunk_id", "chunk").agg(
-            F.count(F.lit(1)).alias("df"))
-        chunks = chunks.join(freq.filter(F.col("df") <= max_bucket),
-                             on=["chunk_id", "chunk"]).drop("df")
-    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"),
-                      "chunk_id", "chunk")
-    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"),
-                      "chunk_id", "chunk")
-    cands = (
-        a.join(b, on=["chunk_id", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "h_a", "h_b").distinct()
+        kept = freq.filter(F.col("df") <= max_bucket)
+        # the DROPPED (hot) buckets — bounded by n_rows/max_bucket, so
+        # always a tiny driver-side set — feed the first-surviving-chunk
+        # emission rule below so capped semantics stay exactly those of
+        # the old pair join (a pair surfaces iff ANY agreeing bucket
+        # survives the cap).
+        import numpy as np
+
+        for r in freq.filter(F.col("df") > max_bucket) \
+                     .select("chunk_id", "chunk").collect():
+            # mask to unsigned: the width-64 chunk (max_hamming=0) is the
+            # raw two's-complement simhash and may be negative
+            hot_vals.setdefault(int(r["chunk_id"]), []).append(
+                int(r["chunk"]) & 0xFFFFFFFFFFFFFFFF)
+        hot_vals = {c: np.asarray(v, dtype=np.uint64)
+                    for c, v in hot_vals.items()}
+    else:
+        kept = freq
+
+    # Pair generation + Hamming verify INSIDE the bucket groups, numpy-
+    # vectorized (guide §4.2), instead of a relational self-join on
+    # (chunk_id, chunk). The old join ENUMERATED every same-bucket pair
+    # as an SMJ output row — ~859M rows at 50k near-dup-dense docs,
+    # ~180 ns/pair of row materialization, all shuffled through
+    # distinct(). Here bucket rows ship to grouped-UDF tasks (ONE
+    # exchange of narrow rows — the same shuffle the join needed) and the
+    # O(bucket²) XOR+popcount runs as blocked numpy at ~2 ns/pair. Each
+    # qualifying pair is emitted EXACTLY ONCE — by its first agreeing
+    # chunk whose bucket survived the cap — so the distinct() disappears
+    # along with its exchange. The candidate SET is identical (pigeonhole
+    # argument unchanged); work is still Σ bucket², still bounded by the
+    # max_bucket skew guard.
+    #
+    # Skew (guide §2.5): one bucket can hold a third of the corpus
+    # (17k docs → 300M popcounts at sf1.0), so a bucket is SALT-TILED
+    # into R = ceil(df / _TILE) classes (deterministic xxhash64 salt, the
+    # max_cell house pattern): each doc replicates R ways into the
+    # R(R+1)/2 unordered class-pair groups (s1 ≤ s2), each group scoring
+    # only classA × classB — every unordered doc pair lands in exactly
+    # one tile, tiles are ~_TILE² popcounts, and the giant bucket
+    # parallelizes instead of straggling.
+    bounds = _chunk_bounds(n_chunks)
+    id_type = sh.schema["doc_id"].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    out_schema = StructType([
+        StructField("doc_a", id_type), StructField("doc_b", id_type),
+        StructField("hamming", IntegerType()),
+    ])
+    _TILE = 2048
+    tiled = (
+        chunks.join(kept, on=["chunk_id", "chunk"])
+        .withColumn("n_splits",
+                    F.greatest(F.lit(1), F.ceil(F.col("df") / _TILE))
+                    .cast("int"))
+        .withColumn("salt",
+                    F.pmod(F.xxhash64("doc_id"), F.col("n_splits"))
+                    .cast("int"))
+        .select("doc_id", "simhash", "chunk_id", "chunk", "salt",
+                F.explode(F.sequence(F.lit(0), F.col("n_splits") - 1))
+                .alias("t"))
+        .select("doc_id", "simhash", "chunk_id", "chunk", "salt",
+                F.least("salt", "t").alias("s1"),
+                F.greatest("salt", "t").alias("s2"))
     )
-    return (
-        cands
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        def popcount64(x):
+            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            x = ((x & np.uint64(0x3333333333333333))
+                 + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+        c = int(pdf["chunk_id"].iloc[0])
+        s1 = int(pdf["s1"].iloc[0])
+        s2 = int(pdf["s2"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        hs_arr = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        if s1 == s2:                 # triangle tile: within one class
+            l_ids, l_hs = ids, hs_arr
+            r_ids, r_hs = ids, hs_arr
+            triangle = True
+        else:                        # bipartite tile: class s1 × class s2
+            cls = pdf["salt"].to_numpy()
+            ma = cls == s1
+            l_ids, l_hs = ids[ma], hs_arr[ma]
+            r_ids, r_hs = ids[~ma], hs_arr[~ma]
+            triangle = False
+        acc_a, acc_b, acc_h = [], [], []
+        nr = len(r_ids)
+        blk = max(16, 4_000_000 // max(nr, 1))   # ≤ ~32 MB XOR matrix
+        kmax = np.uint64(max_hamming)
+        for i0 in range(0, len(l_ids), blk):
+            lblk = l_hs[i0:i0 + blk]
+            pc = popcount64(lblk[:, None] ^ r_hs[None, :])
+            ii, jj = np.nonzero(pc <= kmax)
+            if triangle:
+                keep = (ii + i0) < jj            # unordered pair once
+                ii, jj = ii[keep] + i0, jj[keep]
+            if not ii.size:
+                continue
+            ha, hb = l_hs[ii], r_hs[jj]
+            xr = ha ^ hb
+            emit = np.ones(ii.size, dtype=bool)
+            for cp in range(c):                  # earlier agreeing chunk?
+                lo, w = bounds[cp]
+                m = np.uint64((1 << w) - 1)
+                agree = ((xr >> np.uint64(lo)) & m) == 0
+                hv = hot_vals.get(cp)
+                if hv is not None and agree.any():
+                    val = (ha >> np.uint64(lo)) & m
+                    agree &= ~np.isin(val, hv)   # hot bucket: not emitted there
+                emit &= ~agree
+            ii, jj, xr = ii[emit], jj[emit], xr[emit]
+            if not ii.size:
+                continue
+            ia, ib = l_ids[ii], r_ids[jj]
+            swap = ib < ia                       # doc_a < doc_b by ID
+            acc_a.append(np.where(swap, ib, ia))
+            acc_b.append(np.where(swap, ia, ib))
+            acc_h.append(popcount64(xr).astype(np.int32))
+        if not acc_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=ids.dtype),
+                                 "doc_b": pd.Series([], dtype=ids.dtype),
+                                 "hamming": pd.Series([], dtype=np.int32)})
+        return pd.DataFrame({"doc_a": np.concatenate(acc_a),
+                             "doc_b": np.concatenate(acc_b),
+                             "hamming": np.concatenate(acc_h)})
+
+    # Explicit keyed repartition: the tile rows are only ~30 MB, so AQE's
+    # byte-based coalescing folds the grouped-map shuffle into ONE
+    # partition and serializes ~600 core-s of popcount work (measured:
+    # 19 s vs 2 s). An explicit numPartitions repartition on the SAME
+    # group keys is exempt from AQE coalescing and is reused by the
+    # groupBy (no second exchange); sized from cores, not bytes — the
+    # stage is compute-bound, not IO-bound.
+    n_parts = sh.sparkSession.sparkContext.defaultParallelism * 2
+    return (tiled.repartition(n_parts, "chunk_id", "chunk", "s1", "s2")
+            .groupBy("chunk_id", "chunk", "s1", "s2")
+            .applyInPandas(bucket_pairs, out_schema))
 
 
 def hot_buckets(keyed: DataFrame, keys: list[str], cap: int) -> DataFrame:
