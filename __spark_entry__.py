@@ -30,10 +30,17 @@ from pyspark.sql import functions as F
 
 # Driver testdata parquet is written as a single row group per table, so
 # a bare scan is ONE task and every narrow chain after it runs serially.
-# Fan-out tables get an explicit repartition after the scan (at real
-# scale inputs arrive in many splits and this is a no-op decision).
-_FANOUT_TABLES = {"documents", "embeddings", "lineitem", "orders",
-                  "events", "customer", "part"}
+# Tables feeding Python-UDF / fan-out-heavy work get an explicit
+# repartition after the scan (at real scale inputs arrive in many splits
+# and this is a no-op decision). lineitem/orders/events deliberately do
+# NOT: their bench consumers are aggregations and windows, where the
+# round-robin exchange shipped every row once for nothing — partial
+# (map-side) aggregation collapses the groupBy input before its own
+# exchange, and a window's hashpartitioning exchange parallelizes the
+# sort regardless of scan task count (guide §2.4: remove shuffles whose
+# partitioning is immediately replaced). Scan-side parallelism for those
+# tables comes from the split size (session.py maxPartitionBytes).
+_FANOUT_TABLES = {"documents", "embeddings", "customer", "part"}
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

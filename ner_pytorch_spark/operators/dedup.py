@@ -308,10 +308,18 @@ def minhash_lsh_pairs(
     buckets = _band_stack(doc_table, n_hashes, bands)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket_key")
     b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket_key")
+    # NO distinct here: at near-dup-dense corpora the bucket join emits
+    # millions of candidate rows (7.9M at sf1.0) and deduping them was a
+    # full exchange of the candidate stream BEFORE the cheap map-side
+    # verify. Bands rarely duplicate a pair (<1% here), the verify joins
+    # are AQE-broadcast at these sizes, so verifying the ~1% extra rows
+    # costs far less than the exchange; the final distinct() below
+    # dedupes the (tiny) post-threshold survivors. Same result set:
+    # duplicate candidate rows verify to identical output rows.
     cands = (
         a.join(b, on=["band", "bucket_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .select("doc_a", "doc_b")
     )
     sa = doc_table.select(F.col("doc_id").alias("doc_a"),
                           F.col("n_sh").alias("n_a"),
@@ -331,6 +339,7 @@ def minhash_lsh_pairs(
                     F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct()
     )
 
 
@@ -511,6 +520,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                 F.least("salt", "t").alias("s1"),
                 F.greatest("salt", "t").alias("s2"))
     )
+    # persist the tile table (n_docs×n_chunks×R narrow rows) — the same
+    # keyed-cache unit as sh/freq: explode+cap-join+salting is identical
+    # across calls over one corpus and re-deriving it cost ~0.6 s per
+    # action at sf1.0.
+    tiled = _SIMHASH_CACHE.get_or_build(
+        (plan_key(docs), text_col, id_col, n_chunks, max_bucket, "tiled"),
+        lambda: tiled)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -291,19 +291,40 @@ def tag_sentences(
             sidx, tids, tlist, trans = (
                 v["surface_index"], v["tag_ids"], v["tags"], v["transitions"])
             T = len(tlist)
+            # task-lifetime memo (pure function of the token sequence;
+            # same rationale as the neural branch below)
+            memo: dict[tuple, list] = {}
             for pdf in batches:
                 tok_lists = [list(t) for t in pdf["tokens"]]
                 B = len(tok_lists)
                 if B == 0:
                     continue
                 lengths = np.array([len(t) for t in tok_lists], dtype=np.int64)
-                L = max(1, int(lengths.max()))
-                em = np.zeros((B, L, T), dtype=np.float32)
-                for b, toks in enumerate(tok_lists):
-                    gold = gazetteer_tag_ids(toks, sidx, tids)
-                    em[b, np.arange(len(gold)), gold] = MATCH_SCORE
-                paths = viterbi_decode(em, lengths, trans)
-                pred = [[tlist[i] for i in p] for p in paths]
+                pred: list = [None] * B
+                todo: dict[tuple, list[int]] = {}
+                for i, toks in enumerate(tok_lists):
+                    key = tuple(toks)
+                    hit = memo.get(key)
+                    if hit is not None:
+                        pred[i] = hit
+                    else:
+                        todo.setdefault(key, []).append(i)
+                if todo:
+                    uniq = [tok_lists[ix[0]] for ix in todo.values()]
+                    lens_u = np.fromiter((len(t) for t in uniq), np.int64,
+                                         len(uniq))
+                    L = max(1, int(lens_u.max()))
+                    em = np.zeros((len(uniq), L, T), dtype=np.float32)
+                    for b, toks in enumerate(uniq):
+                        gold = gazetteer_tag_ids(toks, sidx, tids)
+                        em[b, np.arange(len(gold)), gold] = MATCH_SCORE
+                    paths = viterbi_decode(em, lens_u, trans)
+                    for key, p in zip(todo, paths):
+                        tags_p = [tlist[i] for i in p]
+                        if len(memo) < 1_000_000:
+                            memo[key] = tags_p
+                        for i in todo[key]:
+                            pred[i] = tags_p
                 yield pd.DataFrame({
                     "url": pdf["url"], "sent_id": pdf["sent_id"],
                     "tokens": pdf["tokens"], "pred_tags": pred,
@@ -325,18 +346,44 @@ def tag_sentences(
             v = bc.value
             w: TaggerWeights = v["weights"]
             tlist = v["tags"]
+            # task-lifetime memo: featurize→forward→Viterbi is a pure
+            # function of the token sequence, and real corpora repeat
+            # sentences heavily (boilerplate; the synthetic corpus is
+            # ~15% unique) — with length-clustered partitions the copies
+            # of a sentence land in the SAME task, so the forward runs
+            # once per distinct sentence per task. Recomputed from the
+            # parquet input on every run — nothing survives the task.
+            memo: dict[tuple, list] = {}
             for pdf in batches:
                 tok_lists = [list(t) for t in pdf["tokens"]]
                 if not tok_lists:
                     continue
-                feats = [featurize_sentence(t, v["vocab"], v["chars"], v["unk"])
-                         for t in tok_lists]
-                word_ids = [f[0] for f in feats]
-                char_ids = [f[1] for f in feats]
-                caps = [f[2] for f in feats]
-                em, lengths = neural_emissions(w, word_ids, char_ids, caps)
-                paths = viterbi_decode(em, lengths, v["decode_trans"])
-                pred = [[tlist[i] for i in p] for p in paths]
+                B = len(tok_lists)
+                lengths = np.fromiter((len(t) for t in tok_lists),
+                                      np.int64, B)
+                pred: list = [None] * B
+                todo: dict[tuple, list[int]] = {}
+                for i, toks in enumerate(tok_lists):
+                    key = tuple(toks)
+                    hit = memo.get(key)
+                    if hit is not None:
+                        pred[i] = hit
+                    else:
+                        todo.setdefault(key, []).append(i)
+                if todo:
+                    uniq = [tok_lists[ix[0]] for ix in todo.values()]
+                    feats = [featurize_sentence(t, v["vocab"], v["chars"],
+                                                v["unk"]) for t in uniq]
+                    em, lens_u = neural_emissions(
+                        w, [f[0] for f in feats], [f[1] for f in feats],
+                        [f[2] for f in feats])
+                    paths = viterbi_decode(em, lens_u, v["decode_trans"])
+                    for key, p in zip(todo, paths):
+                        tags_p = [tlist[i] for i in p]
+                        if len(memo) < 1_000_000:   # bound task memory
+                            memo[key] = tags_p
+                        for i in todo[key]:
+                            pred[i] = tags_p
                 yield pd.DataFrame({
                     "url": pdf["url"], "sent_id": pdf["sent_id"],
                     "tokens": pdf["tokens"], "pred_tags": pred,
@@ -428,7 +475,13 @@ def pages_to_mention_pairs(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc.value
         tlist, trans = v["tags"], v["transitions"]
-        T = len(tlist)
+        # task-lifetime template memo: decode → BIOES spans → in-sentence
+        # pair generation is a pure function of the token sequence, and
+        # corpora repeat sentences heavily (boilerplate; the synthetic
+        # corpus is ~15% unique) — repeats replay the cached (mentions,
+        # pairs) template under their own (url, sent_id). Bounded;
+        # recomputed from the input every run, nothing survives the task.
+        memo: dict[tuple, tuple] = {}
         for pdf in batches:
             urls, sids, tok_lists = [], [], []
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -448,47 +501,78 @@ def pages_to_mention_pairs(
             B = len(tok_lists)
             if B == 0:
                 continue
-            lengths = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
-            if v["mode"] == "gazetteer":
-                # exact DP-free decode (see gazetteer_decode: candidate
-                # optimality + tie-break proof, grammar-checked with a
-                # real-Viterbi fallback); the unfused path keeps full
-                # Viterbi so the equivalence tests differentially
-                # verify this shortcut
-                decode = gazetteer_decode if v["dp_free"] else gazetteer_viterbi
-                paths = decode(
-                    tok_lists, v["surface_index"], v["tag_ids"], trans)
-            else:
-                w: TaggerWeights = v["weights"]
-                feats = [featurize_sentence(t, v["vocab"], v["chars"], v["unk"])
-                         for t in tok_lists]
-                em, lengths = neural_emissions(
-                    w, [f[0] for f in feats], [f[1] for f in feats],
-                    [f[2] for f in feats])
-                paths = viterbi_decode(em, lengths, v["decode_trans"])
+            keys = [tuple(t) for t in tok_lists]
+            todo: dict[tuple, list] = {}
+            for k, toks in zip(keys, tok_lists):
+                if k not in memo and k not in todo:
+                    todo[k] = toks
+            local: dict[tuple, tuple] = {}   # overflow when memo is full
+            if todo:
+                uniq = list(todo.values())
+                if v["mode"] == "gazetteer":
+                    # exact DP-free decode (see gazetteer_decode:
+                    # candidate optimality + tie-break proof, grammar-
+                    # checked with a real-Viterbi fallback); the unfused
+                    # path keeps full Viterbi so the equivalence tests
+                    # differentially verify this shortcut
+                    decode = (gazetteer_decode if v["dp_free"]
+                              else gazetteer_viterbi)
+                    paths = decode(
+                        uniq, v["surface_index"], v["tag_ids"], trans)
+                else:
+                    w: TaggerWeights = v["weights"]
+                    feats = [featurize_sentence(t, v["vocab"], v["chars"],
+                                                v["unk"]) for t in uniq]
+                    em, lens_u = neural_emissions(
+                        w, [f[0] for f in feats], [f[1] for f in feats],
+                        [f[2] for f in feats])
+                    paths = viterbi_decode(em, lens_u, v["decode_trans"])
+                for (k, toks), p in zip(todo.items(), paths):
+                    spans = extract_spans([tlist[i] for i in p], toks)
+                    ments = [(mid, s["start"], s["end"], s["tag_type"],
+                              s["surface"]) for mid, s in enumerate(spans)]
+                    prs = []
+                    for i, m1 in enumerate(spans):
+                        for j in range(i + 1, len(spans)):
+                            m2 = spans[j]
+                            if m1["end"] > m2["start"]:
+                                continue
+                            prs.append((
+                                i, j, m2["start"] - m1["end"],
+                                m1["tag_type"], m2["tag_type"],
+                                m1["surface"], m2["surface"],
+                                " ".join(toks[m1["end"]:m2["start"]])))
+                    tpl = (ments, prs)
+                    if len(memo) < 1_000_000:
+                        memo[k] = tpl
+                    else:
+                        local[k] = tpl
             out = {k: [] for k in ("url", "sent_id", "kind", "a", "b", "c",
                                    "type_a", "type_b", "surf_a", "surf_b",
                                    "between")}
             app = {k: out[k].append for k in out}
-            for url, sid, toks, p in zip(urls, sids, tok_lists, paths):
-                spans = extract_spans([tlist[i] for i in p], toks)
-                for mid, s in enumerate(spans):
+            for url, sid, k in zip(urls, sids, keys):
+                tpl = memo.get(k)
+                if tpl is None:
+                    tpl = local[k]
+                ments, prs = tpl
+                for mid, st, en, tt, surf in ments:
                     app["url"](url); app["sent_id"](sid); app["kind"](0)
-                    app["a"](mid); app["b"](s["start"]); app["c"](s["end"])
-                    app["type_a"](s["tag_type"]); app["type_b"](None)
-                    app["surf_a"](s["surface"]); app["surf_b"](None)
+                    app["a"](mid); app["b"](st); app["c"](en)
+                    app["type_a"](tt); app["type_b"](None)
+                    app["surf_a"](surf); app["surf_b"](None)
                     app["between"](None)
-                for i, m1 in enumerate(spans):
-                    for j in range(i + 1, len(spans)):
-                        m2 = spans[j]
-                        if m1["end"] > m2["start"]:
-                            continue
-                        app["url"](url); app["sent_id"](sid); app["kind"](1)
-                        app["a"](i); app["b"](j)
-                        app["c"](m2["start"] - m1["end"])
-                        app["type_a"](m1["tag_type"]); app["type_b"](m2["tag_type"])
-                        app["surf_a"](m1["surface"]); app["surf_b"](m2["surface"])
-                        app["between"](" ".join(toks[m1["end"]:m2["start"]]))
+                for i, j, gap, ta, tb, sa, sb, btw in prs:
+                    app["url"](url); app["sent_id"](sid); app["kind"](1)
+                    app["a"](i); app["b"](j); app["c"](gap)
+                    app["type_a"](ta); app["type_b"](tb)
+                    app["surf_a"](sa); app["surf_b"](sb)
+                    app["between"](btw)
+            # int columns as int32 ndarrays: pd.DataFrame over plain int
+            # lists re-boxes per element (measured ~100 ms / 35k rows);
+            # ndarray columns are zero-copy into the frame
+            for col in ("sent_id", "kind", "a", "b", "c"):
+                out[col] = np.asarray(out[col], dtype=np.int32)
             yield pd.DataFrame(out)
 
     df = pages

@@ -70,7 +70,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     deterministic formula ∈ [0,1] combining the features — a filterable
     score, not a learned model.
     """
-    toks = tokens_lower(text_col)
+    # project the token array ONCE: every reference below re-evaluated
+    # the regexp_replace+split+filter chain otherwise (HOF lambdas defeat
+    # codegen subexpression elimination) — measured 5 evaluations ≈ 7.4 s
+    # vs 2.4 s at sf1.0 under the noop sink. Same trick language_id uses.
+    toks = F.col("_toks")
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
@@ -92,7 +96,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
         + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
         + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.2
     )
-    return docs.select(
+    return docs.withColumn("_toks", tokens_lower(text_col)).select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),

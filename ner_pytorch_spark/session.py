@@ -39,10 +39,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # Scan split size (guide §6): scale-dependent, so env-parameterised.
+    # The local default (16m) exists because driver testdata ships as
+    # ONE file per table with few row groups — a 128m split reads the
+    # whole 126 MB lineitem serially in one task. On a real cluster with
+    # many-file inputs set SPARK_GRAFT_MAX_PARTITION_BYTES to 128m-1g
+    # (large sequential scans want FEWER, larger splits; §2.2/§6).
+    max_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_split)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
