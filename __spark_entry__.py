@@ -454,8 +454,6 @@ def q_corpus_prep(spark, sf_dir):
     trimmed — the only repeated line is the injected footer), and
     chains the already-checked language/quality/repetition/jaccard/
     decontam SQL. Output: the training-ready manifest."""
-    import tempfile
-
     from ner_pytorch_spark.plans.corpus_prep import CorpusPrepPipeline
 
     docs0 = _read(spark, sf_dir, "documents")
@@ -480,9 +478,29 @@ def q_corpus_prep(spark, sf_dir):
     # leave 12 of 282 docs and the hash would cover almost nothing);
     # production corpora use 8-13-gram windows where small min_shared
     # is the right scale — the machinery is identical
-    pipe = CorpusPrepPipeline(spark, tempfile.mkdtemp(prefix="prep_"),
+    pipe = CorpusPrepPipeline(spark, _prep_tempdir(),
                               decontam_min_shared=10)
     return pipe.run(docs_in, benchmark=bench)["final"]
+
+
+# snapshot roots for q_corpus_prep invocations: the returned "final"
+# DataFrame lazily reads its committed snapshot, so the dir must outlive
+# the call — removed at interpreter exit instead of leaking (each
+# driver/oracle invocation previously left a ~10 MB tree behind).
+_PREP_DIRS: list[str] = []
+
+
+def _prep_tempdir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _PREP_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _PREP_DIRS])
+    d = tempfile.mkdtemp(prefix="prep_")
+    _PREP_DIRS.append(d)
+    return d
 
 
 def q_kg_mentions(spark, sf_dir):

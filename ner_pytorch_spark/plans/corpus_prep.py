@@ -118,21 +118,31 @@ class CorpusPrepPipeline(SnapshotStagedPlan):
             F.col("clean_text").alias("text"))
 
     def _quality_gate(self, docs: DataFrame) -> DataFrame:
-        """Language + quality + repetition metrics, filtered, one table."""
-        lang = (language_id(docs)
-                .filter(F.col("pred_lang") == self.lang)
-                .select("doc_id", "pred_lang"))
-        qual = (quality_scores(docs)
-                .filter(F.col("quality") >= self.min_quality)
-                .select("doc_id", "n_chars", "n_tokens", "quality"))
-        rep = (repetition_scores(docs, n=self.jaccard_n)
-               .filter((F.col("dup_line_frac") <= self.max_dup_line_frac)
-                       & (F.col("top_ngram_frac")
-                          <= self.max_top_ngram_frac))
-               .select("doc_id", "dup_line_frac", "top_ngram_frac"))
-        return (docs.join(lang, on="doc_id")
-                .join(qual, on="doc_id")
-                .join(rep, on="doc_id"))
+        """Language + quality + repetition metrics, filtered, one table.
+
+        The metric join is PERSISTED unfiltered and the gates applied on
+        top: filtering the branches first let PushDownPredicate
+        substitute each metric's full expression tree into the pushed
+        filter (the built-in analogue of guide §4.4's duplicated-UDF
+        plan), re-evaluating the tokenize chain ~10× — measured 31 s vs
+        ~10 s for this stage at sf1.0. The cached columns are computed
+        once; rows/schema are identical (1:1 branches, inner joins ==
+        conjunctive filter). Unpersisted by ``_flush_bookkeeping``.
+        """
+        lang = language_id(docs).select("doc_id", "pred_lang")
+        qual = quality_scores(docs).select(
+            "doc_id", "n_chars", "n_tokens", "quality")
+        rep = repetition_scores(docs, n=self.jaccard_n).select(
+            "doc_id", "dup_line_frac", "top_ngram_frac")
+        metrics = (docs.join(lang, on="doc_id")
+                   .join(qual, on="doc_id")
+                   .join(rep, on="doc_id")).persist()
+        self._temp_persists.append(metrics)
+        return metrics.filter(
+            (F.col("pred_lang") == self.lang)
+            & (F.col("quality") >= self.min_quality)
+            & (F.col("dup_line_frac") <= self.max_dup_line_frac)
+            & (F.col("top_ngram_frac") <= self.max_top_ngram_frac))
 
     def _exact_dedup(self, docs: DataFrame) -> DataFrame:
         drop = (exact_duplicates(docs)
@@ -179,6 +189,7 @@ class CorpusPrepPipeline(SnapshotStagedPlan):
             "final", resume,
             lambda: final_in.select("doc_id", "canonical_url", "n_chars",
                                     "n_tokens", "quality"))
+        self._flush_bookkeeping()
         return {"url_canon": canon, "clean_text": clean,
                 "quality_gate": gated, "exact_dedup": exact,
                 "near_dedup": near, "final": final}

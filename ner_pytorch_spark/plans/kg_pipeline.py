@@ -179,6 +179,7 @@ class KGPipeline(SnapshotStagedPlan):
 
         nodes = self._stage("entity_nodes", resume,
                             lambda: entity_nodes_from_links(links))
+        self._flush_bookkeeping()
         return {
             "sentences": sents, "tagged": tagged, "mentions": mentions,
             "links": links, "triples": triples, "edges": edges, "nodes": nodes,
