@@ -96,9 +96,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def _norm_tokens(text_col: str) -> F.Column:
-    """lowercase → strip non-alnum → whitespace split, empties removed."""
-    cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")
-    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+    """lowercase → strip non-alnum → whitespace split, empties removed.
+
+    Single regexp_extract_all pass: a token is a maximal [a-z0-9]+ run
+    of the lowercased text — identical output to the old replace+trim+
+    split+filter chain at ~7× less regex work (see textstats
+    tokens_lower)."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)),
+                                F.lit("[a-z0-9]+"), 0)
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",

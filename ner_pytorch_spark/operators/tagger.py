@@ -643,18 +643,21 @@ def repartition_by_length(sentences: DataFrame, partitions: int | None = None) -
     [B, L] tensors. Purely physical; no semantic effect (the fused/
     tagged outputs are row-keyed, never order-dependent)."""
     n = partitions or sentences.sparkSession.sparkContext.defaultParallelism
-    # range-partition on (length, row-hash), NOT length alone: range
-    # bounds are sampled from the key, and a low-cardinality key caps
-    # the partition count at its number of distinct values — web
-    # sentences cluster into few length classes, so ranging on bare
-    # _len yielded ~7 partitions (one holding a third of all rows) and
-    # silently ran the 32-way neural stage ~7-wide. The hash tiebreaker
-    # lets bounds split inside a length class: still length-clustered
-    # (padding-minimal), now n near-equal partitions, deterministic.
+    # hash-partition on the TOKEN SEQUENCE, then sort by length inside
+    # each partition. This keeps the property the stage actually needs —
+    # Arrow batches of similar-length sentences (the within-partition
+    # sort) — while fixing two costs of the previous
+    # repartitionByRange((_len, row-hash)) form:
+    #   * range partitioning runs a SAMPLING JOB over the input before
+    #     every action to estimate bounds; hash partitioning doesn't;
+    #   * hashing the token array co-locates every COPY of a repeated
+    #     sentence in one partition (web corpora repeat sentences
+    #     heavily), which is exactly what the tagger's task-lifetime
+    #     decode memo wants — the range form split a length class
+    #     across partition boundaries.
+    # Balance: keys are full token sequences (high cardinality), so n
+    # near-equal partitions (regression-tested); deterministic.
     return (
-        sentences.withColumn("_len", F.size("tokens"))
-        .withColumn("_tb", F.hash("url", "sent_id"))
-        .repartitionByRange(n, "_len", "_tb")
-        .sortWithinPartitions(F.desc("_len"))
-        .drop("_len", "_tb")
+        sentences.repartition(n, F.hash("tokens"))
+        .sortWithinPartitions(F.desc(F.size("tokens")))
     )
