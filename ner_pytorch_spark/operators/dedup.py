@@ -528,12 +528,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # persist the tile table (n_docs×n_chunks×R narrow rows) — the same
     # keyed-cache unit as sh/freq: explode+cap-join+salting is identical
     # across calls over one corpus and re-deriving it cost ~0.6 s per
-    # action at sf1.0.
+    # action at sf1.0. The TILE-KEYED REPARTITION lives INSIDE the
+    # cached build: the cache preserves its partitioning, so warm calls
+    # scan already-clustered partitions and the scoring query runs with
+    # ZERO exchanges (the 45k-row exchange alone cost 0.69 s of task
+    # overhead at sf0.1 when it sat on the per-call path). Explicit
+    # numPartitions keeps AQE's byte-based coalescing from folding the
+    # compute-bound stage into one partition (measured 19 s vs 2 s);
+    # sized from cores, not bytes.
+    n_parts = sh.sparkSession.sparkContext.defaultParallelism * 2
     tiled = _SIMHASH_CACHE.get_or_build(
         (plan_key(docs), text_col, id_col, n_chunks, max_bucket, "tiled"),
-        lambda: tiled)
+        lambda: tiled.repartition(n_parts, "chunk_id", "chunk", "s1", "s2"))
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_group(c, t1, t2, ids, hs_arr, cls, acc_a, acc_b, acc_h):
+        """Score ONE (chunk_id, chunk, s1, s2) tile — identical popcount/
+        emit-once semantics as the round-7 grouped-map form; results are
+        appended to the caller's accumulators."""
         import numpy as np
 
         def popcount64(x):
@@ -543,22 +554,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
             return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
-        c = int(pdf["chunk_id"].iloc[0])
-        s1 = int(pdf["s1"].iloc[0])
-        s2 = int(pdf["s2"].iloc[0])
-        ids = pdf["doc_id"].to_numpy()
-        hs_arr = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        if s1 == s2:                 # triangle tile: within one class
+        if t1 == t2:                 # triangle tile: within one class
             l_ids, l_hs = ids, hs_arr
             r_ids, r_hs = ids, hs_arr
             triangle = True
         else:                        # bipartite tile: class s1 × class s2
-            cls = pdf["salt"].to_numpy()
-            ma = cls == s1
+            ma = cls == t1
             l_ids, l_hs = ids[ma], hs_arr[ma]
             r_ids, r_hs = ids[~ma], hs_arr[~ma]
             triangle = False
-        acc_a, acc_b, acc_h = [], [], []
         nr = len(r_ids)
         blk = max(16, 4_000_000 // max(nr, 1))   # ≤ ~32 MB XOR matrix
         kmax = np.uint64(max_hamming)
@@ -591,25 +595,75 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             acc_a.append(np.where(swap, ib, ia))
             acc_b.append(np.where(swap, ia, ib))
             acc_h.append(popcount64(xr).astype(np.int32))
-        if not acc_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=ids.dtype),
-                                 "doc_b": pd.Series([], dtype=ids.dtype),
-                                 "hamming": pd.Series([], dtype=np.int32)})
-        return pd.DataFrame({"doc_a": np.concatenate(acc_a),
-                             "doc_b": np.concatenate(acc_b),
-                             "hamming": np.concatenate(acc_h)})
 
-    # Explicit keyed repartition: the tile rows are only ~30 MB, so AQE's
-    # byte-based coalescing folds the grouped-map shuffle into ONE
-    # partition and serializes ~600 core-s of popcount work (measured:
-    # 19 s vs 2 s). An explicit numPartitions repartition on the SAME
-    # group keys is exempt from AQE coalescing and is reused by the
-    # groupBy (no second exchange); sized from cores, not bytes — the
-    # stage is compute-bound, not IO-bound.
-    n_parts = sh.sparkSession.sparkContext.defaultParallelism * 2
-    return (tiled.repartition(n_parts, "chunk_id", "chunk", "s1", "s2")
-            .groupBy("chunk_id", "chunk", "s1", "s2")
-            .applyInPandas(bucket_pairs, out_schema))
+    def partition_pairs(batches):
+        """mapInPandas over a KEY-partitioned, KEY-SORTED stream of tile
+        rows: group boundaries are sliced manually with numpy instead of
+        letting applyInPandas frame one Arrow batch + one pandas
+        DataFrame PER GROUP — measured ~1.5 ms/group of pure machinery
+        (913 groups at sf0.1 cost 1.4 s with a trivial UDF; the popcount
+        itself was ~0.2 s). Rows of one tile are contiguous (sorted), so
+        a batch is scored group-run by group-run; only an incomplete
+        LAST group is carried into the next batch — peak extra memory is
+        one tile (~2·_TILE rows), not the partition."""
+        import numpy as np
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            cid = pdf["chunk_id"].to_numpy()
+            chk = pdf["chunk"].to_numpy()
+            s1v = pdf["s1"].to_numpy()
+            s2v = pdf["s2"].to_numpy()
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = ((cid[1:] != cid[:-1]) | (chk[1:] != chk[:-1])
+                          | (s1v[1:] != s1v[:-1]) | (s2v[1:] != s2v[:-1]))
+            starts = np.flatnonzero(change)
+            last = starts[-1]
+            if last == 0:            # whole batch is one (possibly
+                carry = pdf          # continuing) group — hold it back
+                continue
+            carry = pdf.iloc[last:]
+            ids = pdf["doc_id"].to_numpy()
+            hs_arr = pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            cls = pdf["salt"].to_numpy()
+            acc_a, acc_b, acc_h = [], [], []
+            edges = starts[starts < last].tolist() + [int(last)]
+            for g0, g1 in zip(edges[:-1], edges[1:]):
+                _score_group(int(cid[g0]), int(s1v[g0]), int(s2v[g0]),
+                             ids[g0:g1], hs_arr[g0:g1], cls[g0:g1],
+                             acc_a, acc_b, acc_h)
+            if acc_a:
+                yield pd.DataFrame({"doc_a": np.concatenate(acc_a),
+                                    "doc_b": np.concatenate(acc_b),
+                                    "hamming": np.concatenate(acc_h)})
+        if carry is not None and len(carry):
+            ids = carry["doc_id"].to_numpy()
+            hs_arr = carry["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            cls = carry["salt"].to_numpy()
+            acc_a, acc_b, acc_h = [], [], []
+            _score_group(int(carry["chunk_id"].iloc[0]),
+                         int(carry["s1"].iloc[0]), int(carry["s2"].iloc[0]),
+                         ids, hs_arr, cls, acc_a, acc_b, acc_h)
+            if acc_a:
+                yield pd.DataFrame({"doc_a": np.concatenate(acc_a),
+                                    "doc_b": np.concatenate(acc_b),
+                                    "hamming": np.concatenate(acc_h)})
+
+    # The in-partition sort makes each tile's rows contiguous for
+    # partition_pairs' manual group slicing (16-byte rows; the sort is
+    # noise next to popcount). No exchange here: the cached tile table
+    # is already hash-partitioned on the group keys (see above), so
+    # every tile's rows are co-located and the scoring stage is
+    # scan → sort → MapInPandas.
+    return (tiled.sortWithinPartitions("chunk_id", "chunk", "s1", "s2")
+            .mapInPandas(partition_pairs, out_schema))
 
 
 def hot_buckets(keyed: DataFrame, keys: list[str], cap: int) -> DataFrame:
