@@ -456,7 +456,13 @@ def q_corpus_prep(spark, sf_dir):
     decontam SQL. Output: the training-ready manifest."""
     from ner_pytorch_spark.plans.corpus_prep import CorpusPrepPipeline
 
-    docs0 = _read(spark, sf_dir, "documents")
+    # plain scan, NOT _read: the documents fan-out repartition exists for
+    # compute-heavy Python consumers; here the only consumer of the raw
+    # scan is url_canon's groupBy (which re-shuffles by canonical_url
+    # anyway) and the benchmark split (decontam re-shuffles by gram) —
+    # the round-robin exchange of every text was pure cost. Same rows,
+    # partitioning is not observable in any stage output.
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     k = F.floor(F.col("doc_id") / 2).cast("long")
     base = (F.when(k % 3 == 0, F.lit("HTTP://WWW.Example.COM:80"))
             .when(k % 3 == 1, F.lit("https://Sub.Example.Org:443"))

@@ -44,11 +44,18 @@ from ..plan_cache import PlanCache, plan_key
 # this is the natural unit to persist on a cluster too.
 _BENCH_GRAM_CACHE = PlanCache(capacity=2)
 
+# exploded-line table: strip_boilerplate references it from TWO plan
+# branches (the boilerplate-frequency table and the keep anti-join), and
+# boilerplate_lines is additionally called standalone — same
+# evaluate-once-per-branch story as the gram table above.
+_LINES_CACHE = PlanCache(capacity=2)
+
 
 def clear_caches() -> None:
-    """Unpersist the benchmark-gram cache (test/ops hook, same contract
-    as :func:`ner_pytorch_spark.operators.dedup.clear_caches`)."""
+    """Unpersist the decontam/boilerplate caches (test/ops hook, same
+    contract as :func:`ner_pytorch_spark.operators.dedup.clear_caches`)."""
     _BENCH_GRAM_CACHE.clear()
+    _LINES_CACHE.clear()
 
 
 _WS = r"\s+"
@@ -56,8 +63,9 @@ _WS = r"\s+"
 
 def _line_explode(docs: DataFrame, text_col: str, id_col: str,
                   domain_col: str) -> DataFrame:
-    return (
-        docs.select(
+    return _LINES_CACHE.get_or_build(
+        (plan_key(docs), text_col, id_col, domain_col),
+        lambda: docs.select(
             id_col, domain_col,
             F.posexplode(F.split(F.col(text_col), "\n"))
             .alias("line_no", "line"))

@@ -167,10 +167,19 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_block))
     blocked = sh.join(stop, on="shingle", how="left_anti")
 
-    a = blocked.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = blocked.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # the blocking self-join runs on xxhash64(shingle), not the string:
+    # the join key drops from a ~20-byte string to 8 bytes and the SMJ
+    # compares longs — the same key-narrowing decontam uses (its
+    # "the join key is 8 bytes, never the string" contract). Distinct
+    # shingles per doc are distinct hashes (2^-64 collision odds), so
+    # n_common is unchanged. Matters when a dense vocabulary keeps
+    # shingle df UNDER the stop cap: at sf0.1 corpus_prep's bigram
+    # near-dedup legitimately enumerates ~13M (pair, shingle) rows.
+    blocked_h = blocked.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    a = blocked_h.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = blocked_h.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
-        a.join(b, on="shingle")
+        a.join(b, on="sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
