@@ -148,7 +148,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
-    max_block: int = 1000,
+    max_block: int = 1000, dense: str | bool = "auto",
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold.
 
@@ -157,14 +157,58 @@ def ngram_jaccard_pairs(
     from blocking (stop-shingles — classic skew guard; they cannot be
     the sole evidence for a high-Jaccard pair in practice).
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``dense``: the relational plan degenerates on DENSE corpora — when
+    the distinct-shingle vocabulary is small and shingle df stays under
+    the stop cap, almost every doc pair shares a shingle and the
+    blocking join enumerates ~all-pairs as (pair, shingle) ROWS (36.5M
+    rows / 10.3M candidate pairs of 12.5M possible measured at sf0.1),
+    then hash-aggregates them — ~340 ns/row. In that regime the same
+    candidate set is scored 50-100× cheaper as salt-tiled numpy bitmap
+    popcounts (the simhash_pairs house pattern): each doc's non-stop
+    shingle set becomes a ≤``_DENSE_MAX_SHINGLES``-bit bitmap and
+    |A∩B| is a W-word AND+popcount. "auto" (default) picks the dense
+    kernel only when a tiny stats aggregate over the shingle-df table
+    proves the regime: vocabulary fits a bitmap, the doc count is
+    bounded, and the relational path would already do ≥
+    ``_DENSE_MIN_DENSITY`` × all-pairs work — at real corpus scale the
+    vocabulary is large and df exceeds the stop cap, so the policy
+    keeps the scale-safe blocking join. True/False force a path (tests).
+    Both paths emit bit-identical rows (same candidate set, same
+    long-typed n_common/sizes, the SAME Spark division/round
+    expression).
     """
     sh = _cached_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # full shingle-df table: the stop set filters it; the dense-path
+    # policy aggregates it (3 numbers — no per-shingle data leaves the
+    # cluster unless the vocabulary is proven tiny).
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nonstop = F.col("df") <= max_block
+    if dense == "auto" or dense is True:
+        st = freq.agg(
+            F.count(F.when(nonstop, 1)).alias("n_nonstop"),
+            F.sum(F.when(nonstop,
+                         F.col("df") * (F.col("df") - 1) / 2)).alias("work"),
+        ).collect()[0]
+        n_nonstop = st["n_nonstop"] or 0
+        work = float(st["work"] or 0.0)
+        use_dense, n_docs = False, None
+        if dense is True:
+            use_dense = n_nonstop > 0
+        elif 0 < n_nonstop <= _DENSE_MAX_SHINGLES:
+            n_docs = sizes.count()
+            all_pairs = n_docs * (n_docs - 1) / 2
+            use_dense = (2 <= n_docs <= _DENSE_MAX_DOCS
+                         and work >= _DENSE_MIN_DENSITY * all_pairs)
+        if use_dense:
+            return _jaccard_dense(sh, sizes, freq, nonstop, threshold,
+                                  n_docs if n_docs is not None
+                                  else sizes.count())
     # anti-join against the (tiny, AQE-broadcastable) stop-shingle set
     # instead of an equi-join with the full corpus df table — same rows,
     # no by-shingle re-shuffle of the corpus shingle relation.
-    stop = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_block))
+    stop = freq.filter(F.col("df") > max_block)
     blocked = sh.join(stop, on="shingle", how="left_anti")
 
     # the blocking self-join runs on xxhash64(shingle), not the string:
@@ -190,6 +234,221 @@ def ngram_jaccard_pairs(
         common.join(sa, on="doc_a").join(sb, on="doc_b")
         .withColumn("jaccard",
                     F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# dense-regime policy bounds for ngram_jaccard_pairs (see its docstring):
+# bitmap ≤ 64 uint64 words/doc, tiles bounded like simhash's, and the
+# kernel only fires when the relational plan would already enumerate at
+# least this fraction of all-pairs (measured break-even is ~0.015 —
+# 340 ns/enumerated row vs ~5 ns/bitmap-pair at W=15 — so 0.1 is a 6×
+# safety margin; below it the blocking join is the cheaper plan).
+_DENSE_MAX_SHINGLES = 4096
+_DENSE_MAX_DOCS = 200_000
+_DENSE_MIN_DENSITY = 0.1
+_JTILE = 2048
+
+
+def _popcount_u64(x):
+    """SWAR popcount over a uint64 ndarray (numpy<2 has no bitwise_count)."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _jaccard_dense(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
+                   nonstop, threshold: float, n_docs: int) -> DataFrame:
+    """Dense-corpus Jaccard kernel: per-doc shingle BITMAPS scored with
+    salt-tiled numpy AND+popcount (the simhash_pairs pattern).
+
+    Semantics are exactly the relational path's: a pair surfaces iff it
+    shares ≥1 NON-STOP shingle; n_common counts common non-stop
+    shingles; sizes n_a/n_b are the FULL distinct-shingle counts
+    (including stopped ones); jaccard = n_common/(n_a+n_b−n_common)
+    compared ≥ threshold unrounded, then rounded to 6. The kernel
+    filters by threshold in float64 (bit-identical to the JVM double)
+    and emits the integer evidence (n_common, n_a, n_b); the OUTPUT
+    jaccard is computed by the same Spark expression as the relational
+    branch, so values hash identically.
+
+    Only called when the caller proved the vocabulary fits
+    ``_DENSE_MAX_SHINGLES`` bits — the bit-index map is a sorted
+    driver-side array of the non-stop shingle hashes (bounded collect).
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = sh.sparkSession
+    bit_vals = np.sort(np.array(
+        [r[0] for r in freq.filter(nonstop)
+         .select(F.xxhash64("shingle")).collect()], dtype=np.int64))
+    n_bits = len(bit_vals)
+    n_words = (n_bits + 63) // 64
+    bc = spark.sparkContext.broadcast((bit_vals, n_words, float(threshold)))
+
+    # per-doc non-stop hash set + FULL size, salt-tiled into unordered
+    # class-pair groups exactly like simhash_pairs: R classes, each doc
+    # replicates into the R tiles containing its class, every unordered
+    # pair lands in exactly one tile, tiles are ~2·_JTILE docs.
+    stop = freq.filter(~nonstop)
+    blocked_h = (sh.join(stop, on="shingle", how="left_anti")
+                 .select("doc_id", F.xxhash64("shingle").alias("sh")))
+    arrs = (blocked_h.groupBy("doc_id")
+            .agg(F.collect_list("sh").alias("shs"))
+            .join(sizes, on="doc_id"))
+    r_cls = max(1, -(-n_docs // _JTILE))
+    tiled = (
+        arrs.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(r_cls)).cast("int"))
+        .select("doc_id", "shs", "n_sh", "salt",
+                F.explode(F.sequence(F.lit(0), F.lit(r_cls - 1))).alias("t"))
+        .select("doc_id", "shs", "n_sh", "salt",
+                F.least("salt", "t").alias("s1"),
+                F.greatest("salt", "t").alias("s2"))
+    )
+    id_type = sh.schema["doc_id"].dataType
+    out_schema = StructType([
+        StructField("doc_a", id_type), StructField("doc_b", id_type),
+        StructField("n_common", LongType()),
+        StructField("n_a", LongType()), StructField("n_b", LongType()),
+    ])
+
+    def _score_tile(ids, bm, nf, cls, t1, t2, thr, acc):
+        if t1 == t2:
+            l_ids, l_bm, l_nf = ids, bm, nf
+            r_ids, r_bm, r_nf = ids, bm, nf
+            triangle = True
+        else:
+            ma = cls == t1
+            l_ids, l_bm, l_nf = ids[ma], bm[ma], nf[ma]
+            r_ids, r_bm, r_nf = ids[~ma], bm[~ma], nf[~ma]
+            triangle = False
+        nr = len(r_ids)
+        if nr == 0 or len(l_ids) == 0:
+            return
+        nw = bm.shape[1]
+        blk = max(8, 2_000_000 // max(nr * nw, 1))  # ≤ ~16 MB AND matrix
+        for i0 in range(0, len(l_ids), blk):
+            lb = l_bm[i0:i0 + blk]
+            common = _popcount_u64(
+                lb[:, None, :] & r_bm[None, :, :]).sum(axis=2).astype(np.int64)
+            denom = (l_nf[i0:i0 + blk, None] + r_nf[None, :]).astype(
+                np.float64) - common
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = common / denom
+            keep = (common >= 1) & (j >= thr)
+            if triangle:
+                ii_all, jj_all = np.nonzero(keep)
+                m = (ii_all + i0) < jj_all          # unordered pair once
+                ii, jj = ii_all[m], jj_all[m]
+            else:
+                ii, jj = np.nonzero(keep)
+            if not ii.size:
+                continue
+            # ii indexes the BLOCK → ii + i0 indexes l_ids/l_nf (for the
+            # triangle tile that is also the global row, which is what
+            # the i<j dedup above compared against jj)
+            ia, ib = l_ids[ii + i0], r_ids[jj]
+            swap = ib < ia                      # doc_a < doc_b by ID
+            acc["a"].append(np.where(swap, ib, ia))
+            acc["b"].append(np.where(swap, ia, ib))
+            acc["c"].append(common[ii, jj])
+            na = l_nf[ii + i0].astype(np.int64)
+            nb = r_nf[jj].astype(np.int64)
+            acc["na"].append(np.where(swap, nb, na))
+            acc["nb"].append(np.where(swap, na, nb))
+
+    def tile_pairs(batches):
+        import numpy as np
+
+        bit_vals_, n_words_, thr = bc.value
+
+        def build_bitmaps(shs_col):
+            lens = np.fromiter((len(v) for v in shs_col), dtype=np.int64,
+                               count=len(shs_col))
+            if lens.sum() == 0:
+                return np.zeros((len(shs_col), n_words_), dtype=np.uint64)
+            flat = np.concatenate([np.asarray(v, dtype=np.int64)
+                                   for v in shs_col])
+            idx = np.searchsorted(bit_vals_, flat)
+            rows = np.repeat(np.arange(len(shs_col)), lens)
+            bm = np.zeros((len(shs_col), n_words_), dtype=np.uint64)
+            np.bitwise_or.at(bm, (rows, (idx >> 6).astype(np.int64)),
+                             np.uint64(1) << (idx & 63).astype(np.uint64))
+            return bm
+
+        def flush(pdf, acc):
+            s1v = pdf["s1"].to_numpy()
+            s2v = pdf["s2"].to_numpy()
+            change = np.empty(len(pdf), dtype=bool)
+            change[0] = True
+            change[1:] = (s1v[1:] != s1v[:-1]) | (s2v[1:] != s2v[:-1])
+            starts = np.flatnonzero(change)
+            last = starts[-1]
+            if last == 0:
+                return pdf                      # one (continuing) group
+            carry = pdf.iloc[last:]
+            ids = pdf["doc_id"].to_numpy()
+            bm = build_bitmaps(pdf["shs"].to_numpy())
+            nf = pdf["n_sh"].to_numpy().astype(np.int64)
+            cls = pdf["salt"].to_numpy()
+            edges = starts[starts < last].tolist() + [int(last)]
+            for g0, g1 in zip(edges[:-1], edges[1:]):
+                _score_tile(ids[g0:g1], bm[g0:g1], nf[g0:g1], cls[g0:g1],
+                            int(s1v[g0]), int(s2v[g0]), thr, acc)
+            return carry
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            acc = {"a": [], "b": [], "c": [], "na": [], "nb": []}
+            carry = flush(pdf, acc)
+            if acc["a"]:
+                yield pd.DataFrame({
+                    "doc_a": np.concatenate(acc["a"]),
+                    "doc_b": np.concatenate(acc["b"]),
+                    "n_common": np.concatenate(acc["c"]),
+                    "n_a": np.concatenate(acc["na"]),
+                    "n_b": np.concatenate(acc["nb"])})
+        if carry is not None and len(carry):
+            acc = {"a": [], "b": [], "c": [], "na": [], "nb": []}
+            ids = carry["doc_id"].to_numpy()
+            bm = build_bitmaps(carry["shs"].to_numpy())
+            nf = carry["n_sh"].to_numpy().astype(np.int64)
+            cls = carry["salt"].to_numpy()
+            _score_tile(ids, bm, nf, cls, int(carry["s1"].iloc[0]),
+                        int(carry["s2"].iloc[0]), thr, acc)
+            if acc["a"]:
+                yield pd.DataFrame({
+                    "doc_a": np.concatenate(acc["a"]),
+                    "doc_b": np.concatenate(acc["b"]),
+                    "n_common": np.concatenate(acc["c"]),
+                    "n_a": np.concatenate(acc["na"]),
+                    "n_b": np.concatenate(acc["nb"])})
+
+    # explicit keyed repartition sized from cores — the stage is
+    # compute-bound, so AQE's byte-based coalescing must not fold it
+    # (the simhash lesson); in-partition sort makes each tile's rows
+    # contiguous for the manual group slicing.
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    scored = (tiled.repartition(n_parts, "s1", "s2")
+              .sortWithinPartitions("s1", "s2")
+              .mapInPandas(tile_pairs, out_schema))
+    return (
+        scored
+        .withColumn("jaccard",
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

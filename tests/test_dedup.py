@@ -198,3 +198,60 @@ def test_shingle_cache_keyed_by_plan(spark, docs):
     a4 = _cached_shingles(docs, 4, "text", "doc_id")
     assert a4 is not a1
     assert len(_SH_CACHE._slots) <= _SH_CACHE.capacity
+
+
+def test_jaccard_dense_matches_relational(spark):
+    """The dense bitmap kernel is value-identical to the relational
+    blocking join, including stop-shingle cap semantics (n_common counts
+    only non-stop commons; sizes stay FULL), across tile boundaries."""
+    import random
+
+    from ner_pytorch_spark.operators import dedup
+
+    rng = random.Random(13)
+    hot = ["h0", "h1", "h2"]               # in every doc → df = 60
+    cold = [f"w{i}" for i in range(20)]    # df ≈ 24 each
+    rows = [(i, " ".join(hot
+                         + [rng.choice(cold) for _ in range(8)]))
+            for i in range(60)]
+    rows.append((60, ""))                  # zero-token doc: excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap off, then cap=40: hot words stopped (df 60 > 40), cold kept —
+    # n_common loses the hot words while sizes n_a/n_b keep them
+    for max_block, thr in ((1000, 0.3), (40, 0.1)):
+        rel = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, n=1, threshold=thr, max_block=max_block,
+            dense=False).collect()))
+        den = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, n=1, threshold=thr, max_block=max_block,
+            dense=True).collect()))
+        assert rel == den and len(den) > 0
+    # multi-tile path: force tiny tiles so carry/slicing is exercised
+    old = dedup._JTILE
+    dedup._JTILE = 8
+    try:
+        den_tiled = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, n=1, threshold=0.3, dense=True).collect()))
+    finally:
+        dedup._JTILE = old
+    rel = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.3, dense=False).collect()))
+    assert den_tiled == rel
+
+
+def test_jaccard_dense_policy_stays_relational_when_sparse(spark):
+    """auto-policy: a sparse corpus (every doc its own vocabulary) must
+    keep the scale-safe blocking join — the plan shows the shingle
+    equi-join, not the dense MapInPandas kernel."""
+    from ner_pytorch_spark.operators import dedup
+
+    # one contiguous alnum run per token (an underscore would split into
+    # a shared digit token and densify the corpus)
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(30)))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5, dense="auto")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan  # relational path chosen
+    assert df.count() == 0
