@@ -252,26 +252,37 @@ def kmeans_codebook_distributed(embeddings: DataFrame, n_cells: int,
     for _ in range(iters):
         bc = sc.broadcast(cents)
 
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def partials(batches):
+            # mapInArrow: zero-copy [B, dim] reshape per batch instead
+            # of boxing one ndarray per row through pandas
+            import pyarrow as pa
+
             c = bc.value
             sums = np.zeros((n_cells, d))
             counts = np.zeros(n_cells, dtype=np.int64)
             seen = False
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
                 seen = True
-                q = np.array(list(pdf[emb_col]), dtype=np.float64)
+                q = (rb.column(0).flatten().to_numpy(zero_copy_only=False)
+                     .reshape(rb.num_rows, -1).astype(np.float64))
                 q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
                                 1e-12)
                 assign = (q @ c.T).argmax(axis=1)
                 np.add.at(sums, assign, q)
                 np.add.at(counts, assign, 1)
             if seen:
-                yield pd.DataFrame({"sums": [sums.ravel()],
-                                    "counts": [counts]})
+                offs_d = pa.array(np.array([0, n_cells * d], dtype=np.int32))
+                offs_c = pa.array(np.array([0, n_cells], dtype=np.int32))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.ListArray.from_arrays(
+                        offs_d, pa.array(sums.ravel(), pa.float64())),
+                     pa.ListArray.from_arrays(
+                        offs_c, pa.array(counts, pa.int64()))],
+                    names=["sums", "counts"])
 
-        rows = data.mapInPandas(partials, schema).collect()
+        rows = data.mapInArrow(partials, schema).collect()
         bc.unpersist(blocking=False)
         sums = np.zeros((n_cells, d))
         counts = np.zeros(n_cells, dtype=np.int64)
@@ -344,22 +355,32 @@ def ivf_topk(
         StructField("probes", ArrayType(IntegerType())),
     ])
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign(batches):
+        # mapInArrow: zero-copy [B, dim] reshape of the list column's
+        # value buffer (same float64 matmul → identical assignment as
+        # the old per-row boxing); id/emb columns pass through.
+        import pyarrow as pa
+
         c = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            q = np.array(list(pdf[emb_col]), dtype=np.float64)
+            q = (rb.column(1).flatten().to_numpy(zero_copy_only=False)
+                 .reshape(rb.num_rows, -1).astype(np.float64))
             dots = q @ c.T                                  # [B, n_cells]
             # ties → smallest centroid index (lexsort mirror of the
             # oracle's (dot desc, idx asc) ranking)
             order = np.argsort(-dots, axis=1, kind="stable")
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col],
-                "emb": pdf[emb_col],
-                "cell": order[:, 0].astype("int32"),
-                "probes": list(order[:, :n_probe].astype("int32")),
-            })
+            offs = pa.array(
+                np.arange(0, (rb.num_rows + 1) * n_probe, n_probe,
+                          dtype=np.int32))
+            probes = pa.ListArray.from_arrays(
+                offs, pa.array(order[:, :n_probe].astype(np.int32).ravel(),
+                               pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1),
+                 pa.array(order[:, 0].astype(np.int32), pa.int32()), probes],
+                names=["vec_id", "emb", "cell", "probes"])
 
     # the assignment matmul feeds BOTH join sides (index + queries) and,
     # with max_cell, the split-count aggregate — persist so one Arrow
@@ -371,7 +392,7 @@ def ivf_topk(
                  hashlib.md5(cents.tobytes()).hexdigest())
     assigned = _IVF_CACHE.get_or_build(
         cache_key,
-        lambda: embeddings.select(id_col, emb_col).mapInPandas(
+        lambda: embeddings.select(id_col, emb_col).mapInArrow(
             assign, assign_schema))
     index = assigned.select("cell", F.col("vec_id").alias("neighbor_id"),
                             F.col("emb").alias("emb_b"))
@@ -471,27 +492,37 @@ def lsh_topk(
     ])
     shape = (seed, n_tables, n_bits)
 
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def bucketize(batches):
+        # mapInArrow: the list column's flat value buffer reshapes
+        # zero-copy into the [B, dim] matrix (float32→float64 is exact,
+        # so bucket bits are identical to the old per-row boxing); id
+        # and embedding columns pass through untouched.
+        import pyarrow as pa
+
         planes_flat = None  # [n_tables*n_bits, dim], built on first batch
         weights = (1 << np.arange(n_bits, dtype=np.int64))
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            q = np.array(list(pdf[emb_col]), dtype=np.float64)
+            q = (rb.column(1).flatten().to_numpy(zero_copy_only=False)
+                 .reshape(rb.num_rows, -1).astype(np.float64))
             if planes_flat is None:
                 d = dim or q.shape[1]
                 planes_flat = lsh_planes(*shape, d).reshape(-1, d)
             bits = (q @ planes_flat.T) > 0            # [B, n_tables*n_bits]
-            bkts = bits.reshape(len(pdf), n_tables, n_bits) @ weights
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col],
-                "emb": pdf[emb_col],
-                "buckets": list(bkts),
-            })
+            bkts = (bits.reshape(rb.num_rows, n_tables, n_bits)
+                    @ weights).ravel()
+            offs = pa.array(
+                np.arange(0, (rb.num_rows + 1) * n_tables, n_tables,
+                          dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1),
+                 pa.ListArray.from_arrays(offs, pa.array(bkts, pa.int64()))],
+                names=["vec_id", "emb", "buckets"])
 
     bucketed = (
         embeddings.select(id_col, emb_col)
-        .mapInPandas(bucketize, bucket_schema)
+        .mapInArrow(bucketize, bucket_schema)
         .select("vec_id", "emb",
                 F.posexplode("buckets").alias("table", "bucket"))
     )

@@ -98,7 +98,7 @@ def main():
     plan = plan_of(lsh)
     n_lits = plan.count("0.")  # literal doubles would appear en masse
     ok &= check("lsh_topk_no_plan_literals", plan,
-                must=[r"ArrowEvalPython|MapInPandas|mapInPandas"],
+                must=[r"ArrowEvalPython|MapInPandas|mapInPandas|MapInArrow"],
                 must_not=[r"SortMergeJoin|CartesianProduct|BroadcastNestedLoop"])
     print(("OK " if n_lits < 200 else "FAIL")
           + f" lsh_topk_literal_count ({n_lits} float-ish literals)")
