@@ -51,6 +51,12 @@ _DOC_CACHE = PlanCache(capacity=4)
 # pigeonhole blocking self-join — persisted keyed the same way so the
 # tokenize+hash Pandas UDF runs once per corpus, not once per branch.
 _SIMHASH_CACHE = PlanCache(capacity=8)
+# dense-jaccard tile tables (repartition inside the cached build — warm
+# calls score with zero exchanges, the simhash §2b pattern) and the
+# per-corpus policy stats / bit-index vocabulary (3 numbers + a
+# ≤_DENSE_MAX_SHINGLES int64 array; bounded, keyed like the plan caches)
+_JDENSE_CACHE = PlanCache(capacity=4)
+_JDENSE_META: dict = {}
 
 
 def _cached_shingles(docs: DataFrame, n: int, text_col: str,
@@ -71,8 +77,9 @@ def clear_caches() -> None:
     driver process must call this first (batch pipelines that read
     immutable snapshots — the normal mode — never need to).
     """
-    for c in (_SH_CACHE, _DOC_CACHE, _SIMHASH_CACHE):
+    for c in (_SH_CACHE, _DOC_CACHE, _SIMHASH_CACHE, _JDENSE_CACHE):
         c.clear()
+    _JDENSE_META.clear()
 
 
 # ------------------------------------------------------------- exact
@@ -186,25 +193,38 @@ def ngram_jaccard_pairs(
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     nonstop = F.col("df") <= max_block
     if dense == "auto" or dense is True:
-        st = freq.agg(
-            F.count(F.when(nonstop, 1)).alias("n_nonstop"),
-            F.sum(F.when(nonstop,
-                         F.col("df") * (F.col("df") - 1) / 2)).alias("work"),
-        ).collect()[0]
-        n_nonstop = st["n_nonstop"] or 0
-        work = float(st["work"] or 0.0)
-        use_dense, n_docs = False, None
+        # the policy numbers and the bit-index vocabulary are pure
+        # functions of (corpus plan, n, cols, max_block) — memoized so a
+        # warm call (bench best-of-2, repeated pipeline invocations over
+        # one corpus) spends zero driver actions re-deriving them
+        meta_key = (plan_key(docs), n, text_col, id_col, max_block)
+        meta = _JDENSE_META.get(meta_key)
+        if meta is None:
+            st = freq.agg(
+                F.count(F.when(nonstop, 1)).alias("n_nonstop"),
+                F.sum(F.when(nonstop, F.col("df") * (F.col("df") - 1) / 2)
+                      ).alias("work"),
+            ).collect()[0]
+            meta = {"n_nonstop": st["n_nonstop"] or 0,
+                    "work": float(st["work"] or 0.0), "n_docs": None}
+            _JDENSE_META[meta_key] = meta
+            while len(_JDENSE_META) > 8:
+                _JDENSE_META.pop(next(iter(_JDENSE_META)))
+        n_nonstop, work = meta["n_nonstop"], meta["work"]
+        use_dense = False
         if dense is True:
             use_dense = n_nonstop > 0
         elif 0 < n_nonstop <= _DENSE_MAX_SHINGLES:
-            n_docs = sizes.count()
-            all_pairs = n_docs * (n_docs - 1) / 2
-            use_dense = (2 <= n_docs <= _DENSE_MAX_DOCS
+            if meta["n_docs"] is None:
+                meta["n_docs"] = sizes.count()
+            all_pairs = meta["n_docs"] * (meta["n_docs"] - 1) / 2
+            use_dense = (2 <= meta["n_docs"] <= _DENSE_MAX_DOCS
                          and work >= _DENSE_MIN_DENSITY * all_pairs)
         if use_dense:
+            if meta["n_docs"] is None:
+                meta["n_docs"] = sizes.count()
             return _jaccard_dense(sh, sizes, freq, nonstop, threshold,
-                                  n_docs if n_docs is not None
-                                  else sizes.count())
+                                  meta, meta_key)
     # anti-join against the (tiny, AQE-broadcastable) stop-shingle set
     # instead of an equi-join with the full corpus df table — same rows,
     # no by-shingle re-shuffle of the corpus shingle relation.
@@ -263,7 +283,8 @@ def _popcount_u64(x):
 
 
 def _jaccard_dense(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
-                   nonstop, threshold: float, n_docs: int) -> DataFrame:
+                   nonstop, threshold: float, meta: dict,
+                   meta_key) -> DataFrame:
     """Dense-corpus Jaccard kernel: per-doc shingle BITMAPS scored with
     salt-tiled numpy AND+popcount (the simhash_pairs pattern).
 
@@ -285,9 +306,14 @@ def _jaccard_dense(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     spark = sh.sparkSession
-    bit_vals = np.sort(np.array(
-        [r[0] for r in freq.filter(nonstop)
-         .select(F.xxhash64("shingle")).collect()], dtype=np.int64))
+    # bit-index vocabulary: memoized next to the policy stats (bounded
+    # ≤ _DENSE_MAX_SHINGLES by the caller's proof) so warm calls skip
+    # the collect
+    if meta.get("bit_vals") is None:
+        meta["bit_vals"] = np.sort(np.array(
+            [r[0] for r in freq.filter(nonstop)
+             .select(F.xxhash64("shingle")).collect()], dtype=np.int64))
+    bit_vals = meta["bit_vals"]
     n_bits = len(bit_vals)
     n_words = (n_bits + 63) // 64
     bc = spark.sparkContext.broadcast((bit_vals, n_words, float(threshold)))
@@ -295,23 +321,45 @@ def _jaccard_dense(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
     # per-doc non-stop hash set + FULL size, salt-tiled into unordered
     # class-pair groups exactly like simhash_pairs: R classes, each doc
     # replicates into the R tiles containing its class, every unordered
-    # pair lands in exactly one tile, tiles are ~2·_JTILE docs.
-    stop = freq.filter(~nonstop)
-    blocked_h = (sh.join(stop, on="shingle", how="left_anti")
-                 .select("doc_id", F.xxhash64("shingle").alias("sh")))
-    arrs = (blocked_h.groupBy("doc_id")
-            .agg(F.collect_list("sh").alias("shs"))
-            .join(sizes, on="doc_id"))
-    r_cls = max(1, -(-n_docs // _JTILE))
-    tiled = (
-        arrs.withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(r_cls)).cast("int"))
-        .select("doc_id", "shs", "n_sh", "salt",
-                F.explode(F.sequence(F.lit(0), F.lit(r_cls - 1))).alias("t"))
-        .select("doc_id", "shs", "n_sh", "salt",
-                F.least("salt", "t").alias("s1"),
-                F.greatest("salt", "t").alias("s2"))
-    )
+    # pair lands in exactly one tile, tiles are ~2·_JTILE docs. The
+    # TILE-KEYED REPARTITION lives INSIDE the cached build (the §2b
+    # simhash lesson): the cache preserves its partitioning, so warm
+    # calls scan already-clustered partitions and the scoring query is
+    # scan → sort → MapInPandas with zero exchanges. The explicit
+    # numPartitions (cores-derived) keeps AQE's byte-based coalescing
+    # from folding the compute-bound stage into one partition.
+    # class count: enough tiles to bound per-tile work (~_JTILE² pairs)
+    # AND enough to occupy the cores — r(r+1)/2 tiles ≥ 2×parallelism ⇒
+    # r ≥ √(4·parallelism) (measured at sf0.1/5k docs: r=3 → 6 tiles on
+    # 32 cores ran 1.56 s; r=12+ → 0.75-0.9 s). The size-derived term
+    # dominates at scale, so doc replication stays ≤ ceil(N/_JTILE)+ε
+    # per doc; the cores term only matters when the corpus is small.
+    n_docs = meta["n_docs"]
+    par = spark.sparkContext.defaultParallelism
+    r_cls = max(1, -(-n_docs // _JTILE), int((4 * par) ** 0.5 + 1))
+    n_parts = par * 2
+
+    def _build_tiled():
+        stop = freq.filter(~nonstop)
+        blocked_h = (sh.join(stop, on="shingle", how="left_anti")
+                     .select("doc_id", F.xxhash64("shingle").alias("sh")))
+        arrs = (blocked_h.groupBy("doc_id")
+                .agg(F.collect_list("sh").alias("shs"))
+                .join(sizes, on="doc_id"))
+        return (
+            arrs.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("doc_id"), F.lit(r_cls)).cast("int"))
+            .select("doc_id", "shs", "n_sh", "salt",
+                    F.explode(F.sequence(F.lit(0), F.lit(r_cls - 1)))
+                    .alias("t"))
+            .select("doc_id", "shs", "n_sh", "salt",
+                    F.least("salt", "t").alias("s1"),
+                    F.greatest("salt", "t").alias("s2"))
+            .repartition(n_parts, "s1", "s2")
+        )
+
+    tiled = _JDENSE_CACHE.get_or_build(meta_key + (r_cls,), _build_tiled)
     id_type = sh.schema["doc_id"].dataType
     out_schema = StructType([
         StructField("doc_a", id_type), StructField("doc_b", id_type),
@@ -436,13 +484,10 @@ def _jaccard_dense(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
                     "n_a": np.concatenate(acc["na"]),
                     "n_b": np.concatenate(acc["nb"])})
 
-    # explicit keyed repartition sized from cores — the stage is
-    # compute-bound, so AQE's byte-based coalescing must not fold it
-    # (the simhash lesson); in-partition sort makes each tile's rows
-    # contiguous for the manual group slicing.
-    n_parts = spark.sparkContext.defaultParallelism * 2
-    scored = (tiled.repartition(n_parts, "s1", "s2")
-              .sortWithinPartitions("s1", "s2")
+    # the cached tile table is already hash-partitioned on the group
+    # keys; the in-partition sort makes each tile's rows contiguous for
+    # the manual group slicing — scan → sort → MapInPandas, no exchange.
+    scored = (tiled.sortWithinPartitions("s1", "s2")
               .mapInPandas(tile_pairs, out_schema))
     return (
         scored
